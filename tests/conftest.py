@@ -8,7 +8,9 @@ compile checks.
 
 import os
 
-# Must run before jax is imported anywhere.
+# Must run before jax is imported anywhere. Note: the axon TPU plugin in this
+# image ignores JAX_PLATFORMS, so we additionally pin jax_default_device to
+# CPU below; mesh tests fetch the 8 virtual devices via backend="cpu".
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
@@ -16,8 +18,17 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
 import numpy as np
 import pytest
+
+CPU_DEVICES = jax.local_devices(backend="cpu")
+jax.config.update("jax_default_device", CPU_DEVICES[0])
+
+
+@pytest.fixture(scope="session")
+def cpu_devices():
+    return CPU_DEVICES
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,94 @@
+"""High-level CTC decoder bound to a charset, mirroring the reference's
+CTCDecoder surface (reference: BDRC/inference.py:75-118): blank "<blk>" at
+vocab index 0 when add_blank, charset.index+1 encode shift, greedy decode
+stripping blanks, beam decode returning scored hypotheses — with the greedy
+path running on device."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+from ocr_inference_tpu.core.data import KenLMConfig
+from ocr_inference_tpu.decode.arpa_lm import ArpaLM
+from ocr_inference_tpu.decode.ctc import Beam, beam_search, greedy_decode, ids_to_tokens
+
+
+class CTCDecoder:
+    """Charset-bound CTC decoder (reference: BDRC/inference.py:75-118)."""
+
+    blank_sign = "<blk>"
+
+    def __init__(
+        self,
+        charset: str | Sequence[str],
+        add_blank: bool,
+        kenlm_config: Optional[KenLMConfig] = None,
+        beam_width: int = 64,
+    ):
+        self.charset = list(charset)
+        self.add_blank = add_blank
+        self.ctc_beam_width = beam_width
+        self.ctc_vocab = self.charset.copy()
+        if add_blank:
+            self.ctc_vocab.insert(0, self.blank_sign)
+
+        self._lm: Optional[ArpaLM] = None
+        self._lm_score_fn = None
+        if kenlm_config is not None:
+            try:
+                self._lm = ArpaLM(kenlm_config.arpa_file)
+                self._lm_score_fn = self._lm.make_score_fn(
+                    self.charset, self.add_blank
+                )
+            except Exception as e:  # graceful LM fallback, like the reference
+                print(f"KenLM disabled: {e}")  # (reference: inference.py:102-104)
+                self._lm = None
+
+    @property
+    def has_lm(self) -> bool:
+        return self._lm is not None
+
+    # -- label <-> id (reference: BDRC/inference.py:108-112) --
+
+    def encode(self, label: str) -> list[int]:
+        return [self.charset.index(x) + 1 for x in label]
+
+    def decode(self, inputs: Sequence[int]) -> str:
+        return "".join(self.charset[x - 1] for x in inputs)
+
+    # -- CTC decode --
+
+    def ctc_decode_batch(self, logits: jax.Array) -> list[str]:
+        """Greedy decode a (B, T, V) device batch; logits stay on device."""
+        ids, lengths, _ = greedy_decode(logits)
+        ids = np.asarray(ids)
+        lengths = np.asarray(lengths)
+        return [
+            "".join(ids_to_tokens(ids[b], int(lengths[b]), self.charset, self.add_blank))
+            for b in range(ids.shape[0])
+        ]
+
+    def ctc_decode(self, logits) -> str:
+        """Single-line greedy decode of (T, V) logits
+        (reference: BDRC/inference.py:114-115)."""
+        arr = np.asarray(logits)
+        if arr.ndim == 2:
+            arr = arr[None]
+        return self.ctc_decode_batch(arr)[0]
+
+    def ctc_beam_decode(
+        self, logits, use_lm: bool = True, top_k: int = 10
+    ) -> list[Beam]:
+        """Beam decode of one line's (T, V) logits
+        (reference: BDRC/inference.py:117-118)."""
+        return beam_search(
+            np.asarray(logits),
+            self.charset,
+            add_blank=self.add_blank,
+            beam_width=self.ctc_beam_width,
+            lm_score_fn=self._lm_score_fn if use_lm else None,
+            top_k=top_k,
+        )

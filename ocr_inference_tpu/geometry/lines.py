@@ -1,0 +1,453 @@
+"""Line geometry: contours, skew, reading order, line-strip extraction.
+
+Host-side counterpart of the device mask pipeline (reference:
+BDRC/line_detection.py). Contour topology is inherently dynamic-shaped, so it
+runs on host (cv2 topology now, with the framework's C++ geometry library as
+the drop-in alternative); everything dense stayed on device upstream.
+
+Key behavioral parity points with the reference:
+- skew = mean of minAreaRect angles of large contours, with the near-0 vs
+  near-90 population split (line_detection.py:107-185);
+- reading order via vertical-slice voting threshold + running-mean row
+  grouping, rows reversed at the end (line_detection.py:362-486);
+- line extraction with the adaptive-k dilate/retry loop and the k carry-over
+  across lines (line_detection.py:291-359) — here computed on a padded ROI
+  instead of full-page masks, which is output-equivalent (the dilation
+  support of a single contour is local) but O(bbox) instead of O(page).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import cv2
+import numpy as np
+
+from ocr_inference_tpu.core.data import BBox, Line, generate_guid
+
+
+# ---------------------------------------------------------------------------
+# Contour topology (host)
+# ---------------------------------------------------------------------------
+
+def get_contours(image: np.ndarray) -> Sequence[np.ndarray]:
+    """All contours, no hierarchy (reference: line_detection.py:33-44)."""
+    contours, _ = cv2.findContours(
+        image.astype(np.uint8), cv2.RETR_LIST, cv2.CHAIN_APPROX_SIMPLE
+    )
+    return contours
+
+
+def optimize_contour(cnt: np.ndarray, e: float = 0.001) -> np.ndarray:
+    """Polygon simplification, epsilon 0.001*arclen
+    (reference: line_detection.py:47-59)."""
+    epsilon = e * cv2.arcLength(cnt, True)
+    return cv2.approxPolyDP(cnt, epsilon, True)
+
+
+def rotate_from_angle(image: np.ndarray, angle: float) -> np.ndarray:
+    """Host rotation identical to the device op
+    (reference: line_detection.py:62-76)."""
+    rows, cols = image.shape[:2]
+    rot_matrix = cv2.getRotationMatrix2D((cols / 2, rows / 2), angle, 1)
+    return cv2.warpAffine(image, rot_matrix, (cols, rows), borderValue=(0, 0, 0))
+
+
+def mask_n_crop(image: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Apply mask, crop to the nonzero extent
+    (reference: line_detection.py:79-104)."""
+    image = image.astype(np.uint8)
+    mask = mask.astype(np.uint8)
+    if image.ndim == 2:
+        image = image[..., None]
+    if mask.ndim == 3:
+        mask = mask[..., 0]
+    masked = image * (mask[..., None] > 0)
+    rows = np.where(masked.any(axis=(1, 2)))[0]
+    cols = np.where(masked.any(axis=(0, 2)))[0]
+    if rows.size == 0 or cols.size == 0:
+        return np.zeros((0, 0, image.shape[2]), dtype=np.uint8)
+    return masked[rows[0] : rows[-1] + 1, cols[0] : cols[-1] + 1]
+
+
+# ---------------------------------------------------------------------------
+# Page skew
+# ---------------------------------------------------------------------------
+
+def calculate_rotation_angle_from_lines(
+    line_mask: np.ndarray, max_angle: float = 5.0
+) -> float:
+    """Page skew from line contour orientations
+    (reference: line_detection.py:145-185)."""
+    contours = get_contours(line_mask)
+    mask_threshold = line_mask.shape[0] * line_mask.shape[1] * 0.001
+    contours = [x for x in contours if cv2.contourArea(x) > mask_threshold]
+    if not contours:
+        return 0.0
+    angles = [cv2.minAreaRect(x)[2] for x in contours]
+    # minAreaRect angle conventions differ across cv2 versions: 4.x returns
+    # [0, 90), 5.x returns (-90, 0]. The reference's low/high split
+    # (line_detection.py:171-183) assumes 4.x; normalize to the actual line
+    # tilt in (-45, 45] so the same intent holds under either convention:
+    # positive tilt = counter-clockwise page skew that rotate_from_angle
+    # undoes with a positive angle.
+    tilts = []
+    for a in angles:
+        if a <= -45.0:
+            a += 90.0
+        elif a > 45.0:
+            a -= 90.0
+        tilts.append(a)
+    cands = [t for t in tilts if t != 0.0 and abs(t) < max_angle]
+    if not cands:
+        return 0.0
+    return float(np.mean(cands))
+
+
+# Alias matching the reference's duplicate definition pair
+# (line_detection.py:107 vs :145 — the robust variant wins here).
+get_rotation_angle_from_lines = calculate_rotation_angle_from_lines
+
+
+# ---------------------------------------------------------------------------
+# Line objects
+# ---------------------------------------------------------------------------
+
+def build_line_data(contour: np.ndarray, optimize: bool = True) -> Line:
+    """Contour -> Line with bbox + center (reference: line_detection.py:188)."""
+    if optimize:
+        contour = optimize_contour(contour)
+    x, y, w, h = cv2.boundingRect(contour)
+    bbox = BBox(x, y, w, h)
+    return Line(
+        guid=generate_guid(clock_seq=23),
+        contour=contour,
+        bbox=bbox,
+        center=(x + w // 2, y + h // 2),
+    )
+
+
+def build_raw_line_data(
+    image: np.ndarray, line_mask: np.ndarray, rot_threshold: float = 0.5
+):
+    """Deskew + contour extraction (reference: line_detection.py:212-244).
+
+    Returns (rotated_image, rotated_mask_rgb, contours, angle). Rotation is
+    applied only when the detected skew exceeds rot_threshold degrees.
+    """
+    if line_mask.ndim == 3:
+        line_mask = cv2.cvtColor(line_mask, cv2.COLOR_BGR2GRAY)
+
+    angle = calculate_rotation_angle_from_lines(line_mask)
+
+    if angle > rot_threshold:
+        out_mask = rotate_from_angle(line_mask, angle)
+        out_img = rotate_from_angle(image, angle)
+    else:
+        out_mask = line_mask
+        out_img = image
+
+    line_contours = [
+        x for x in get_contours(out_mask) if cv2.contourArea(x) > 10
+    ]
+    out_mask = cv2.cvtColor(out_mask, cv2.COLOR_GRAY2RGB)
+    return out_img, out_mask, line_contours, angle
+
+
+def filter_line_contours(
+    image: np.ndarray, line_contours, threshold: float = 0.01
+) -> list:
+    """Drop thin/short fragments: keep w > 1% page width and h > 10 px
+    (reference: line_detection.py:247-264)."""
+    filtered = []
+    for cnt in line_contours:
+        _, _, w, h = cv2.boundingRect(cnt)
+        if w > image.shape[1] * threshold and h > 10:
+            filtered.append(cnt)
+    return filtered
+
+
+# ---------------------------------------------------------------------------
+# Line-strip extraction (ROI-local, adaptive k)
+# ---------------------------------------------------------------------------
+
+def _extract_line_roi(
+    image: np.ndarray, contour: np.ndarray, bbox_h: int, k_factor: float
+) -> np.ndarray:
+    """Dilate the line mask and crop the masked image, computed on a padded
+    ROI around the contour bbox (reference computes on full-page buffers,
+    line_detection.py:267-288; a single contour's dilation support is local,
+    so the ROI result is identical)."""
+    k_size = int(bbox_h * k_factor)
+    kw = max(k_size, 1)
+    kh = max(int(k_size * k_factor), 1)
+
+    x, y, w, h = cv2.boundingRect(contour)
+    pad_x = kw // 2 + 1
+    pad_y = kh // 2 + 1
+    x0 = max(0, x - pad_x)
+    y0 = max(0, y - pad_y)
+    x1 = min(image.shape[1], x + w + pad_x)
+    y1 = min(image.shape[0], y + h + pad_y)
+
+    roi_mask = np.zeros((y1 - y0, x1 - x0), dtype=np.uint8)
+    shifted = contour - np.array([[[x0, y0]]], dtype=contour.dtype)
+    cv2.drawContours(roi_mask, [shifted], -1, 255, -1)
+    kernel = cv2.getStructuringElement(cv2.MORPH_RECT, (kw, kh))
+    dilated = cv2.dilate(roi_mask, kernel, iterations=1)
+    return mask_n_crop(image[y0:y1, x0:x1], dilated)
+
+
+def get_line_image_from_mask(
+    image: np.ndarray,
+    mask: np.ndarray,
+    bbox_h: int,
+    bbox_tolerance: float = 2.5,
+    k_factor: float = 1.2,
+) -> tuple[np.ndarray, float]:
+    """Adaptive strip extraction from an explicit full-page mask (used by the
+    local-TPS path where the mask has been warped; reference:
+    line_detection.py:291-327 signature)."""
+
+    def extract(k: float) -> np.ndarray:
+        k_size = int(bbox_h * k)
+        kernel = cv2.getStructuringElement(
+            cv2.MORPH_RECT, (max(k_size, 1), max(int(k_size * k), 1))
+        )
+        dilated = cv2.dilate(mask.astype(np.uint8), kernel, iterations=1)
+        return mask_n_crop(image, dilated)
+
+    try:
+        tmp_k = k_factor
+        line_img = extract(tmp_k)
+        attempts = 0
+        while line_img.shape[0] > bbox_h * bbox_tolerance and attempts < 10:
+            tmp_k -= 0.1
+            if tmp_k <= 0.1:
+                break
+            line_img = extract(tmp_k)
+            attempts += 1
+        return line_img, tmp_k
+    except Exception as e:
+        print(f"Error in get_line_image_from_mask: {e}")
+        return np.zeros((bbox_h, bbox_h * 2, 3), dtype=np.uint8), k_factor
+
+
+def get_line_image(
+    image: np.ndarray,
+    contour: np.ndarray,
+    bbox_h: int,
+    bbox_tolerance: float = 2.5,
+    k_factor: float = 1.2,
+) -> tuple[np.ndarray, float]:
+    """Adaptive strip extraction: shrink k by 0.1 (max 10 tries) until the
+    strip height fits bbox_h * tolerance (reference:
+    line_detection.py:291-327, incl. the blank-image fallback)."""
+    try:
+        tmp_k = k_factor
+        line_img = _extract_line_roi(image, contour, bbox_h, tmp_k)
+        attempts = 0
+        while line_img.shape[0] > bbox_h * bbox_tolerance and attempts < 10:
+            tmp_k -= 0.1
+            if tmp_k <= 0.1:
+                break
+            line_img = _extract_line_roi(image, contour, bbox_h, tmp_k)
+            attempts += 1
+        return line_img, tmp_k
+    except Exception as e:  # parity: never let one line kill a page
+        print(f"Error in get_line_image: {e}")
+        return np.zeros((bbox_h, bbox_h * 2, 3), dtype=np.uint8), k_factor
+
+
+def extract_line_images(
+    image: np.ndarray,
+    line_data: list[Line],
+    default_k: float = 1.7,
+    bbox_tolerance: float = 3,
+) -> list[np.ndarray]:
+    """Extract strips for sorted lines, carrying the adapted k forward
+    (reference: line_detection.py:330-359)."""
+    current_k = default_k
+    line_images = []
+    for line in line_data:
+        _, _, _, h = cv2.boundingRect(line.contour)
+        line_img, adapted_k = get_line_image(
+            image, line.contour, h, bbox_tolerance=bbox_tolerance,
+            k_factor=current_k,
+        )
+        line_images.append(line_img)
+        if current_k != adapted_k:
+            current_k = adapted_k
+    return line_images
+
+
+# ---------------------------------------------------------------------------
+# Reading order
+# ---------------------------------------------------------------------------
+
+def get_line_threshold(line_prediction: np.ndarray, slice_width: int = 20) -> float:
+    """Row-grouping threshold via vertical slice voting
+    (reference: line_detection.py:362-421)."""
+    if line_prediction.ndim == 3:
+        line_prediction = cv2.cvtColor(line_prediction, cv2.COLOR_BGR2GRAY)
+
+    x, y, w, h = cv2.boundingRect(line_prediction)
+    x_steps = (w // slice_width) // 2
+
+    bbox_numbers = []
+    for step in range(1, x_steps + 1):
+        x_start = x + x_steps * step
+        x_end = x_start + slice_width
+        _slice = line_prediction[y : y + h, x_start:x_end]
+        contours, _ = cv2.findContours(
+            _slice, cv2.RETR_LIST, cv2.CHAIN_APPROX_SIMPLE
+        )
+        bbox_numbers.append((len(contours), contours))
+
+    if not bbox_numbers:
+        return 0.0
+    n_contours, contours = max(bbox_numbers, key=lambda t: t[0])
+    if n_contours == 0:
+        return 0.0
+    y_centers = []
+    for cnt in contours:
+        _, cy, _, ch = cv2.boundingRect(cnt)
+        y_centers.append(cy + ch // 2)
+    if not y_centers:
+        return 0.0
+    return float(np.median(y_centers) // n_contours)
+
+
+def sort_bbox_centers(
+    bbox_centers: list[tuple[int, int]], line_threshold: float = 20
+) -> list[list[tuple[int, int]]]:
+    """Group centers into rows by running-mean y distance; rows sorted by x
+    and the row list reversed (reference: line_detection.py:424-486 — the
+    reversal turns cv2's bottom-up contour order into reading order)."""
+    if not bbox_centers:
+        return []
+    rows: list[list[tuple[int, int]]] = []
+    current: list[tuple[int, int]] = []
+    for center in bbox_centers:
+        if current:
+            mean_y = np.mean([c[1] for c in current])
+            if abs(mean_y - center[1]) > line_threshold:
+                current.sort(key=lambda c: c[0])
+                rows.append(current.copy())
+                current.clear()
+        current.append(center)
+    if current:
+        rows.append(current)
+    for row in rows:
+        row.sort(key=lambda c: c[0])
+    return list(reversed(rows))
+
+
+def group_line_chunks(
+    sorted_bbox_centers, lines: list[Line]
+) -> list[Line]:
+    """Merge same-row chunks via convex hull over their stacked contours
+    (reference: line_detection.py:489-548)."""
+    by_center = {line.center: line for line in lines}
+    new_lines: list[Line] = []
+    for row in sorted_bbox_centers:
+        if len(row) > 1:
+            contour_stack = [
+                by_center[c].contour for c in row if c in by_center
+            ]
+            if not contour_stack:
+                continue
+            stacked = cv2.convexHull(np.vstack(contour_stack))
+            x, y, w, h = cv2.boundingRect(stacked)
+            bbox = BBox(x, y, w, h)
+            new_lines.append(
+                Line(
+                    guid=generate_guid(clock_seq=23),
+                    contour=stacked,
+                    bbox=bbox,
+                    center=(x + w // 2, y + h // 2),
+                )
+            )
+        else:
+            for c in row:
+                if c in by_center:
+                    new_lines.append(by_center[c])
+    return new_lines
+
+
+def sort_lines_by_threshold(
+    line_mask: np.ndarray,
+    lines: list[Line],
+    threshold: float = 20,
+    calculate_threshold: bool = True,
+    group_lines: bool = True,
+) -> tuple[list[Line], float]:
+    """Reading-order sort + optional chunk merge (reference:
+    line_detection.py:551-634 — both duplicate definitions behave like
+    this)."""
+    centers = [line.center for line in lines]
+    line_threshold = (
+        get_line_threshold(line_mask) if calculate_threshold else threshold
+    )
+    sorted_centers = sort_bbox_centers(centers, line_threshold=line_threshold)
+    if group_lines:
+        new_lines = group_line_chunks(sorted_centers, lines)
+    else:
+        by_center = {line.center: line for line in lines}
+        new_lines = [
+            by_center[c] for row in sorted_centers for c in row if c in by_center
+        ]
+    return new_lines, line_threshold
+
+
+# Name parity with the reference call site (inference.py:606)
+sort_lines_by_threshold2 = sort_lines_by_threshold
+
+
+# ---------------------------------------------------------------------------
+# Misc geometry used by exporters / layout
+# ---------------------------------------------------------------------------
+
+def rotate_contour(
+    cnt: np.ndarray, center: tuple[int, int], angle: float
+) -> np.ndarray:
+    """Rotate contour points about a center by angle degrees, polar form
+    (reference: BDRC/utils.py:636-658)."""
+    cx, cy = center
+    cnt_norm = cnt - [cx, cy]
+    coords = cnt_norm[:, 0, :].astype(np.float64)
+    thetas = np.rad2deg(np.arctan2(coords[:, 1], coords[:, 0]))
+    rhos = np.hypot(coords[:, 0], coords[:, 1])
+    thetas = np.deg2rad((thetas + angle) % 360)
+    xs = rhos * np.cos(thetas)
+    ys = rhos * np.sin(thetas)
+    out = cnt_norm.astype(np.float64)
+    out[:, 0, 0] = xs
+    out[:, 0, 1] = ys
+    return (out + [cx, cy]).astype(np.int32)
+
+
+def get_text_bbox(lines: list[Line]) -> BBox:
+    """Text-area bbox from line bboxes (reference: BDRC/utils.py:611-621,
+    including its quirky max-w/last-line-h semantics)."""
+    all_bboxes = [line.bbox for line in lines]
+    min_x = min(b.x for b in all_bboxes)
+    min_y = min(b.y for b in all_bboxes)
+    max_w = max(b.w for b in all_bboxes)
+    max_h = all_bboxes[-1].y + all_bboxes[-1].h
+    return BBox(min_x, min_y, max_w, max_h)
+
+
+def get_union_bbox(contours: list[np.ndarray]):
+    """Union axis-aligned + rotated bbox over contours
+    (reference: BDRC/utils.py:1081-1097)."""
+    from ocr_inference_tpu.core.data import RotatedBBox
+
+    if len(contours) == 0:
+        return None, None
+    all_points = np.vstack(contours)
+    x, y, w, h = cv2.boundingRect(all_points)
+    bbox = BBox(x, y, w, h)
+    (cx, cy), (width, height), angle = cv2.minAreaRect(all_points)
+    points = cv2.boxPoints(((cx, cy), (width, height), angle)).astype(np.int32)
+    return bbox, RotatedBBox((float(cx), float(cy)), width, height, angle, points)

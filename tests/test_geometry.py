@@ -1,0 +1,141 @@
+"""Geometry layer tests on synthetic line masks."""
+
+import cv2
+import numpy as np
+
+from ocr_inference_tpu.geometry import lines as G
+
+
+def _synthetic_page(n_lines=5, h=400, w=800, line_h=24, skew=0.0):
+    """Page image + line mask with n_lines horizontal dark bands."""
+    img = np.full((h, w, 3), 230, dtype=np.uint8)
+    mask = np.zeros((h, w), dtype=np.uint8)
+    step = h // (n_lines + 1)
+    for i in range(n_lines):
+        y0 = step * (i + 1)
+        img[y0 : y0 + line_h, 40 : w - 40] = 50
+        mask[y0 : y0 + line_h, 40 : w - 40] = 255
+    if skew:
+        img = G.rotate_from_angle(img, -skew)
+        mask = G.rotate_from_angle(mask, -skew)
+    return img, mask
+
+
+def test_rotation_angle_recovers_skew():
+    _, mask = _synthetic_page(skew=3.0)
+    angle = G.calculate_rotation_angle_from_lines(mask)
+    assert abs(angle - 3.0) < 0.5
+    _, mask0 = _synthetic_page(skew=0.0)
+    assert abs(G.calculate_rotation_angle_from_lines(mask0)) < 0.2
+
+
+def test_rotation_angle_empty_mask():
+    assert G.calculate_rotation_angle_from_lines(np.zeros((100, 100), np.uint8)) == 0.0
+
+
+def test_build_raw_line_data_deskews():
+    img, mask = _synthetic_page(n_lines=4, skew=2.0)
+    out_img, out_mask, contours, angle = G.build_raw_line_data(img, mask)
+    assert abs(angle - 2.0) < 0.5
+    assert out_mask.ndim == 3  # rgb mask, reference contract
+    assert len(contours) >= 4
+    # deskewed contours should be near-horizontal again
+    rect_angles = [cv2.minAreaRect(c)[2] for c in contours]
+    assert all(a < 1.5 or a > 88.5 for a in rect_angles)
+
+
+def test_filter_line_contours_drops_fragments():
+    img, mask = _synthetic_page(n_lines=3)
+    mask[10:15, 100:104] = 255  # tiny blob: w < 1% page width
+    contours = [c for c in G.get_contours(mask)]
+    kept = G.filter_line_contours(mask, contours)
+    assert len(kept) == 3
+
+
+def test_sort_lines_reading_order_and_grouping():
+    img, mask = _synthetic_page(n_lines=4)
+    contours = G.filter_line_contours(mask, G.get_contours(mask))
+    line_data = [G.build_line_data(c) for c in contours]
+    sorted_lines, threshold = G.sort_lines_by_threshold(mask, line_data)
+    assert len(sorted_lines) == 4
+    ys = [l.center[1] for l in sorted_lines]
+    assert ys == sorted(ys), "lines must come out top-to-bottom"
+
+
+def test_sort_groups_split_chunks():
+    # one line broken into two horizontal chunks must merge into one Line
+    img = np.full((200, 600, 3), 230, dtype=np.uint8)
+    mask = np.zeros((200, 600), dtype=np.uint8)
+    mask[80:100, 30:280] = 255
+    mask[80:100, 320:570] = 255
+    mask[150:170, 30:570] = 255
+    contours = G.filter_line_contours(mask, G.get_contours(mask))
+    assert len(contours) == 3
+    line_data = [G.build_line_data(c) for c in contours]
+    sorted_lines, _ = G.sort_lines_by_threshold(mask, line_data, group_lines=True)
+    assert len(sorted_lines) == 2
+    assert sorted_lines[0].center[1] < sorted_lines[1].center[1]
+    # merged line spans both chunks
+    assert sorted_lines[0].bbox.w > 400
+
+
+def test_extract_line_images_shapes():
+    img, mask = _synthetic_page(n_lines=3, line_h=20)
+    contours = G.filter_line_contours(mask, G.get_contours(mask))
+    line_data = [G.build_line_data(c) for c in contours]
+    sorted_lines, _ = G.sort_lines_by_threshold(mask, line_data)
+    strips = G.extract_line_images(img, sorted_lines, default_k=1.7, bbox_tolerance=3)
+    assert len(strips) == 3
+    for s in strips:
+        assert s.shape[0] > 0 and s.shape[1] > 600
+        assert s.shape[0] <= 20 * 3 + 2  # within tolerance
+
+
+def test_extract_line_roi_matches_fullpage():
+    """ROI-local extraction must equal the reference's full-page variant."""
+    img, mask = _synthetic_page(n_lines=2, line_h=22)
+    contours = G.filter_line_contours(mask, G.get_contours(mask))
+    cnt = contours[0]
+    _, _, _, h = cv2.boundingRect(cnt)
+    k = 1.5
+
+    # reference-style full-page computation
+    full_mask = np.zeros(img.shape[:2], dtype=np.uint8)
+    cv2.drawContours(full_mask, [cnt], -1, 255, -1)
+    k_size = int(h * k)
+    kernel = cv2.getStructuringElement(cv2.MORPH_RECT, (k_size, int(k_size * k)))
+    dilated = cv2.dilate(full_mask, kernel, iterations=1)
+    ref = G.mask_n_crop(img, dilated)
+
+    ours = G._extract_line_roi(img, cnt, h, k)
+    assert ours.shape == ref.shape
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_mask_n_crop():
+    img = np.full((50, 60, 3), 200, np.uint8)
+    mask = np.zeros((50, 60), np.uint8)
+    mask[10:20, 15:45] = 255
+    out = G.mask_n_crop(img, mask)
+    assert out.shape == (10, 30, 3)
+    assert (out == 200).all()
+
+
+def test_rotate_contour_roundtrip():
+    cnt = np.array([[[10, 10]], [[40, 10]], [[40, 30]], [[10, 30]]], np.int32)
+    rot = G.rotate_contour(cnt, (25, 20), 90)
+    back = G.rotate_contour(rot, (25, 20), -90)
+    assert np.abs(back - cnt).max() <= 2
+
+
+def test_get_text_bbox_and_union_bbox():
+    img, mask = _synthetic_page(n_lines=2)
+    contours = G.filter_line_contours(mask, G.get_contours(mask))
+    line_data = [G.build_line_data(c) for c in contours]
+    sorted_lines, _ = G.sort_lines_by_threshold(mask, line_data)
+    bbox = G.get_text_bbox(sorted_lines)
+    assert bbox.w > 600
+    u_bbox, rot_bbox = G.get_union_bbox([c for c in contours])
+    assert u_bbox.w >= bbox.w
+    assert rot_bbox.points.shape == (4, 2)
+    assert G.get_union_bbox([]) == (None, None)

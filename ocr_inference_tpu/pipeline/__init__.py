@@ -1,0 +1,8 @@
+"""Page OCR pipeline: device engines + stage orchestration."""
+
+from ocr_inference_tpu.pipeline.engines import (  # noqa: F401
+    RecognitionEngine,
+    SegmentationEngine,
+    pad_ocr_line_host,
+)
+from ocr_inference_tpu.pipeline.ocr_pipeline import OCRPipeline  # noqa: F401

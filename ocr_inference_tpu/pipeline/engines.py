@@ -1,0 +1,381 @@
+"""Device inference engines: tiled segmentation and bucketed recognition.
+
+TPU-first rework of the reference's ONNX session wrappers
+(reference: BDRC/inference.py:121-276 Detection/LineDetection/LayoutDetection,
+:279-429 OCRInference):
+
+- the whole page preprocess (resize, pad-255, binarize 51/13, normalize,
+  tile) is ONE jitted program per page geometry (LRU-cached — volumes are
+  shape-homogeneous, so in steady state everything reuses one executable);
+- detection runs over fixed-size tile chunks so XLA compiles a single batch
+  shape regardless of page size;
+- recognition batches MANY lines per device call into a small set of static
+  width buckets (the reference ran the recognizer one line at a time,
+  inference.py:630-635 — the single biggest throughput sink), and CTC greedy
+  decode runs on device so only token ids come back.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Optional, Sequence
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ocr_inference_tpu.core.data import (
+    BatchConfig,
+    KenLMConfig,
+    LayoutDetectionConfig,
+    LineDetectionConfig,
+    OCRModelConfig,
+)
+from ocr_inference_tpu.decode.ctc import greedy_decode
+from ocr_inference_tpu.decode.decoder import CTCDecoder
+from ocr_inference_tpu.ops import imaging, tiling
+
+
+class _ShapeLRU:
+    """Tiny LRU for per-geometry jitted callables."""
+
+    def __init__(self, capacity: int = 16):
+        self._d: OrderedDict = OrderedDict()
+        self._cap = capacity
+
+    def get(self, key, builder):
+        if key in self._d:
+            self._d.move_to_end(key)
+            return self._d[key]
+        fn = builder()
+        self._d[key] = fn
+        if len(self._d) > self._cap:
+            self._d.popitem(last=False)
+        return fn
+
+
+# ---------------------------------------------------------------------------
+# Segmentation
+# ---------------------------------------------------------------------------
+
+class SegmentationEngine:
+    """Page -> class mask(s), fully on device.
+
+    ``mode="line"`` reproduces LineDetection.predict (sigmoid, threshold 0.9,
+    binary mask *255, reference: inference.py:166-183); ``mode="layout"``
+    reproduces LayoutDetection.predict (softmax over classes, threshold 0.8,
+    per-class masks *255, reference: inference.py:186-276).
+    """
+
+    def __init__(
+        self,
+        model,
+        variables,
+        mode: str = "line",
+        patch_size: int = 512,
+        tile_chunk: int = 32,
+        classes: Optional[list[str]] = None,
+    ):
+        self.model = model
+        self.variables = variables
+        self.mode = mode
+        self.patch_size = patch_size
+        self.tile_chunk = tile_chunk
+        self.classes = classes or ["line"]
+        self._pre_cache = _ShapeLRU()
+        self._post_cache = _ShapeLRU()
+
+        @jax.jit
+        def _forward(variables, tiles):
+            return self.model.apply(variables, tiles, train=False)
+
+        self._forward = _forward
+
+    # -- jitted stages --
+
+    def _pre_fn(self, plan: tiling.PagePlan):
+        key = (plan.orig_h, plan.orig_w, plan.padded_h, plan.padded_w)
+
+        def build():
+            @jax.jit
+            def fn(img):
+                padded = tiling.preprocess_page(img, plan)
+                bw = imaging.binarize(padded)
+                tiles = tiling.tile_page(bw, self.patch_size)
+                return tiles.astype(jnp.float32) / 255.0
+
+            return fn
+
+        return self._pre_cache.get(key, build)
+
+    def _post_fn(self, plan: tiling.PagePlan, threshold: float, n_classes: int):
+        key = (plan.orig_h, plan.orig_w, plan.padded_h, plan.padded_w,
+               threshold, n_classes, self.mode)
+
+        def build():
+            @jax.jit
+            def fn(logits_tiles):
+                if self.mode == "line":
+                    # (N, p, p, 1) -> (N, p, p)
+                    pred = jax.nn.sigmoid(logits_tiles[..., 0])
+                    pred = jnp.where(pred > threshold, 1.0, 0.0)
+                    merged = tiling.stitch_tiles(pred, plan.y_steps)
+                    merged = tiling.crop_padding(merged, plan.pad_x, plan.pad_y)
+                    out = imaging.resize_bilinear(
+                        merged, plan.orig_h, plan.orig_w
+                    )
+                    # reference truncates (astype uint8) before *255
+                    # (inference.py:178-181)
+                    return out.astype(jnp.uint8) * 255
+                pred = jax.nn.softmax(logits_tiles, axis=-1)
+                pred = jnp.where(pred > threshold, 1.0, 0.0)
+                merged = tiling.stitch_tiles(pred, plan.y_steps)
+                merged = tiling.crop_padding(merged, plan.pad_x, plan.pad_y)
+                out = imaging.resize_bilinear(merged, plan.orig_h, plan.orig_w)
+                return out.astype(jnp.uint8) * 255
+
+            return fn
+
+        return self._post_cache.get(key, build)
+
+    def _run_tiles(self, tiles: jax.Array) -> jax.Array:
+        """Forward all tiles in fixed-size chunks (one compiled shape)."""
+        n = tiles.shape[0]
+        chunk = self.tile_chunk
+        outs = []
+        for start in range(0, n, chunk):
+            block = tiles[start : start + chunk]
+            if block.shape[0] < chunk:
+                pad = chunk - block.shape[0]
+                block = jnp.concatenate(
+                    [block, jnp.zeros((pad,) + block.shape[1:], block.dtype)]
+                )
+                outs.append(self._forward(self.variables, block)[: n - start])
+            else:
+                outs.append(self._forward(self.variables, block))
+        return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+
+    # -- public API --
+
+    def predict(self, image: np.ndarray, class_threshold: float | None = None):
+        """Full-page prediction; returns a uint8 mask (line mode: (H, W),
+        layout mode: (H, W, C))."""
+        if class_threshold is None:
+            class_threshold = 0.9 if self.mode == "line" else 0.8
+        h, w = image.shape[:2]
+        plan = tiling.plan_page(h, w, self.patch_size)
+        tiles = self._pre_fn(plan)(jnp.asarray(image))
+        logits = self._run_tiles(tiles)
+        n_classes = logits.shape[-1]
+        mask = self._post_fn(plan, class_threshold, n_classes)(logits)
+        return np.asarray(mask)
+
+
+# ---------------------------------------------------------------------------
+# Recognition
+# ---------------------------------------------------------------------------
+
+def pad_ocr_line_host(
+    img: np.ndarray,
+    target_width: int,
+    target_height: int,
+    padding: str = "black",
+) -> np.ndarray:
+    """Host (numpy/cv2) aspect-preserving canvas pad, byte-parity with the
+    reference (BDRC/utils.py:818-899, inference.py:313-334). Used to build
+    static-shape line batches cheaply before the device call."""
+    value = 255 if padding == "white" else 0
+    h, w = img.shape[:2]
+    c = img.shape[2] if img.ndim == 3 else 1
+    width_ratio = target_width / w
+    height_ratio = target_height / h
+
+    if width_ratio <= height_ratio:
+        tmp = cv2.resize(
+            img, (target_width, int(h * (target_width / w))),
+            interpolation=cv2.INTER_LINEAR,
+        )
+        middle = (target_height - tmp.shape[0]) // 2
+        up = np.full((middle, target_width, c), value, np.uint8)
+        lo = np.full(
+            (target_height - tmp.shape[0] - middle, target_width, c),
+            value, np.uint8,
+        )
+        out = np.vstack([up, tmp.reshape(tmp.shape[0], target_width, c), lo])
+    else:
+        tmp = cv2.resize(
+            img, (int(w * (target_height / h)), target_height),
+            interpolation=cv2.INTER_LINEAR,
+        )
+        middle = (target_width - tmp.shape[1]) // 2
+        le = np.full((target_height, middle, c), value, np.uint8)
+        ri = np.full(
+            (target_height, target_width - tmp.shape[1] - middle, c),
+            value, np.uint8,
+        )
+        out = np.hstack([le, tmp.reshape(target_height, tmp.shape[1], c), ri])
+    if out.shape[:2] != (target_height, target_width):
+        out = cv2.resize(
+            out, (target_width, target_height), interpolation=cv2.INTER_LINEAR
+        )
+        out = out.reshape(target_height, target_width, c)
+    return out
+
+
+class RecognitionEngine:
+    """Batched line recognizer (reference: OCRInference, inference.py:279-429).
+
+    Lines are canvas-padded on host into static width buckets, batched, and
+    pushed through ONE jitted program per (bucket, batch) shape that does
+    binarize -> grayscale -> [-1, 1] scale -> model forward -> on-device
+    greedy CTC. Eval mode returns per-line logits for host beam search.
+    """
+
+    def __init__(
+        self,
+        model,
+        variables,
+        config: OCRModelConfig,
+        kenlm_config: Optional[KenLMConfig] = None,
+        batch_cfg: Optional[BatchConfig] = None,
+    ):
+        self.model = model
+        self.variables = variables
+        self.config = config
+        self.batch_cfg = batch_cfg or BatchConfig()
+        self.ctc_decoder = CTCDecoder(
+            config.charset, config.add_blank, kenlm_config=None
+        )
+        self.ctc_decoder_lm = (
+            CTCDecoder(config.charset, config.add_blank, kenlm_config)
+            if kenlm_config is not None
+            else None
+        )
+        self._fwd_cache = _ShapeLRU(capacity=32)
+
+    # buckets never exceed the model's trained input width
+    def _buckets(self) -> tuple[int, ...]:
+        w = self.config.input_width
+        bs = tuple(b for b in self.batch_cfg.width_buckets if b < w)
+        return bs + (w,)
+
+    def _prepare_host(self, line_image: np.ndarray, pre_pad: bool) -> np.ndarray:
+        img = line_image
+        if img.ndim == 2:
+            img = cv2.cvtColor(img, cv2.COLOR_GRAY2RGB)
+        if pre_pad:
+            img = tiling.pre_pad_line(img)
+        bucket = tiling.bucket_for_width(
+            img.shape[1], img.shape[0], self.config.input_height, self._buckets()
+        )
+        return pad_ocr_line_host(img, bucket, self.config.input_height)
+
+    def _forward_fn(self, batch: int, width: int, want_logits: bool):
+        key = (batch, width, want_logits)
+
+        def build():
+            @jax.jit
+            def fn(variables, images_u8):
+                # (B, H, W, 3) uint8 canvas -> model input
+                bw = jax.vmap(imaging.binarize)(images_u8)
+                gray = jax.vmap(imaging.rgb_to_gray)(bw)
+                x = gray.astype(jnp.float32) / 127.5 - 1.0  # (B, H, W)
+                logits = self.model.apply(variables, x, train=False)
+                if want_logits:
+                    return logits
+                return greedy_decode(logits)
+
+            return fn
+
+        return self._fwd_cache.get(key, build)
+
+    def _batch_iter(self, prepared: list[tuple[int, np.ndarray]]):
+        """Group prepared canvases by bucket width; yield fixed-size batches
+        (padded with zeros so each (bucket, B) compiles once)."""
+        by_width: dict[int, list[tuple[int, np.ndarray]]] = {}
+        for idx, canvas in prepared:
+            by_width.setdefault(canvas.shape[1], []).append((idx, canvas))
+        bmax = self.batch_cfg.max_lines_per_batch
+        for width, items in sorted(by_width.items()):
+            for start in range(0, len(items), bmax):
+                chunk = items[start : start + bmax]
+                # round batch up to a power-of-two-ish step to bound the
+                # number of compiled shapes
+                b = 1
+                while b < len(chunk):
+                    b *= 2
+                b = min(b, bmax)
+                arr = np.zeros(
+                    (b, self.config.input_height, width, 3), np.uint8
+                )
+                for i, (_, canvas) in enumerate(chunk):
+                    arr[i] = canvas
+                yield width, b, [idx for idx, _ in chunk], arr
+
+    # -- public API --
+
+    def run_batch(
+        self, line_images: Sequence[np.ndarray], pre_pad: bool = False
+    ) -> list[str]:
+        """Recognize many lines; returns texts in input order."""
+        prepared = [
+            (i, self._prepare_host(img, pre_pad))
+            for i, img in enumerate(line_images)
+            if img.shape[0] > 0 and img.shape[1] > 0
+        ]
+        texts: dict[int, str] = {}
+        for width, b, idxs, arr in self._batch_iter(prepared):
+            fn = self._forward_fn(b, width, want_logits=False)
+            ids, lengths, conf = fn(self.variables, jnp.asarray(arr))
+            ids = np.asarray(ids)
+            lengths = np.asarray(lengths)
+            from ocr_inference_tpu.decode.ctc import ids_to_tokens
+
+            for row, idx in enumerate(idxs):
+                toks = ids_to_tokens(
+                    ids[row],
+                    int(lengths[row]),
+                    self.ctc_decoder.charset,
+                    self.config.add_blank,
+                )
+                texts[idx] = "".join(toks)
+        return [texts.get(i, "") for i in range(len(line_images))]
+
+    def run_batch_beams(
+        self,
+        line_images: Sequence[np.ndarray],
+        pre_pad: bool = False,
+        use_lm: bool = False,
+        top_k: int = 10,
+    ):
+        """Eval mode: per-line beam hypotheses (reference run_beam_code,
+        inference.py:400-414). Forward is batched on device; beam search
+        runs on host over the returned logits."""
+        prepared = [
+            (i, self._prepare_host(img, pre_pad))
+            for i, img in enumerate(line_images)
+            if img.shape[0] > 0 and img.shape[1] > 0
+        ]
+        decoder = (
+            self.ctc_decoder_lm
+            if (use_lm and self.ctc_decoder_lm is not None)
+            else self.ctc_decoder
+        )
+        beams_by_idx: dict[int, list] = {}
+        for width, b, idxs, arr in self._batch_iter(prepared):
+            fn = self._forward_fn(b, width, want_logits=True)
+            logits = np.asarray(fn(self.variables, jnp.asarray(arr)))
+            for row, idx in enumerate(idxs):
+                beams_by_idx[idx] = decoder.ctc_beam_decode(
+                    logits[row], use_lm=use_lm, top_k=top_k
+                )
+        return [beams_by_idx.get(i, []) for i in range(len(line_images))]
+
+    def run(self, line_image: np.ndarray, pre_pad: bool = False,
+            use_lm: bool = False) -> str:
+        """Single-line compatibility shim (reference: inference.py:416-429)."""
+        return self.run_batch([line_image], pre_pad=pre_pad)[0]
+
+    def run_beam_code(self, line_image: np.ndarray, pre_pad: bool = True):
+        return self.run_batch_beams([line_image], pre_pad=pre_pad)[0]

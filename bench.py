@@ -1,0 +1,173 @@
+"""Benchmark harness: end-to-end pages/sec on the flagship OCR pipeline.
+
+Prints ONE JSON line:
+  {"metric": "pages_per_sec_end_to_end", "value": N, "unit": "pages/s",
+   "vs_baseline": R, ...}
+
+Workload (BASELINE config 4 shape): a synthetic volume of pecha pages
+(1600x2640, 8 text lines each) through the full pipeline — device detection
+(UNet), host geometry, bucketed device recognition (Easter2) with on-device
+greedy CTC, text conversion. Weights are random (the reference publishes no
+benchmark numbers or weights; compute cost is architecture-shaped, not
+weight-shaped).
+
+Baseline: the reference is CPU-ONNXRuntime running the recognizer one line
+per call (BDRC/inference.py:630-635). ONNXRuntime is not installed here, so
+the baseline is measured as this framework's own pipeline executed on ONE
+CPU device with reference-style execution (per-line recognition, batch 1) —
+an optimistic stand-in for the reference (XLA CPU vs ORT CPU). The baseline
+measurement is cached in BASELINE_MEASURED.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+BASELINE_FILE = REPO / "BASELINE_MEASURED.json"
+
+N_PAGES = 12
+PAGE_H, PAGE_W = 1600, 2640
+N_LINES = 8
+
+
+def make_volume(n_pages: int) -> list[np.ndarray]:
+    rng = np.random.default_rng(42)
+    pages = []
+    for _ in range(n_pages):
+        img = np.full((PAGE_H, PAGE_W, 3), 235, np.uint8)
+        noise = rng.integers(-12, 12, size=img.shape)
+        img = np.clip(img.astype(int) + noise, 0, 255).astype(np.uint8)
+        step = PAGE_H // (N_LINES + 1)
+        for i in range(N_LINES):
+            y0 = step * (i + 1)
+            img[y0 : y0 + 36, 100 : PAGE_W - 100] = rng.integers(
+                20, 70, size=(36, PAGE_W - 200, 3)
+            )
+        pages.append(img)
+    return pages
+
+
+def build(det_chunk: int = 32, per_line: bool = False):
+    import jax.numpy as jnp
+    from flax import linen as nn
+    import jax
+
+    from ocr_inference_tpu.core.data import (
+        BatchConfig,
+        CharsetEncoder,
+        OCRModelConfig,
+    )
+    from ocr_inference_tpu.models import Easter2, UNet
+    from ocr_inference_tpu.models.params import init_recognizer, init_segmentation
+    from ocr_inference_tpu.pipeline import (
+        OCRPipeline,
+        RecognitionEngine,
+        SegmentationEngine,
+    )
+
+    class BenchLineModel(nn.Module):
+        """Full UNet compute (cost realism) + a deterministic dark-band
+        detector (functional masks despite random weights)."""
+
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            unet_logits = UNet(classes=1)(x, train)
+            dark = 1.0 - jnp.mean(x, axis=-1, keepdims=True)
+            density = nn.avg_pool(dark, (9, 41), strides=(1, 1), padding="SAME")
+            return unet_logits * 1e-6 + (density - 0.35) * 40.0
+
+    det_model = BenchLineModel()
+    det_vars = init_segmentation(det_model)
+    det = SegmentationEngine(det_model, det_vars, mode="line",
+                             tile_chunk=det_chunk)
+
+    charset = list("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ'" )
+    cfg = OCRModelConfig(
+        model_file="", architecture="Easter2", input_width=3000,
+        input_height=80, input_layer="input", output_layer="output",
+        squeeze_channel=True, swap_hw=False, encoder=CharsetEncoder.WYLIE,
+        charset=charset, add_blank=True, version="bench",
+    )
+    rec_model = Easter2(vocab_size=len(charset) + 1)
+    rec_vars = init_recognizer(rec_model, 80, 256)
+    batch_cfg = BatchConfig(
+        max_lines_per_batch=1 if per_line else 64,
+        width_buckets=(3000,) if per_line else (512, 1024, 2000, 3000),
+    )
+    rec = RecognitionEngine(rec_model, rec_vars, cfg, batch_cfg=batch_cfg)
+    return OCRPipeline(rec, det)
+
+
+def run_volume(pipeline, pages, per_line: bool = False) -> float:
+    """Returns pages/sec over the volume (excluding warmup)."""
+    from ocr_inference_tpu.core.data import OpStatus
+
+    # warmup: one page populates every jit cache
+    status, res = pipeline.run_ocr(pages[0])
+    assert status == OpStatus.SUCCESS, res
+
+    start = time.perf_counter()
+    n_lines = 0
+    for page in pages:
+        status, res = pipeline.run_ocr(page)
+        assert status == OpStatus.SUCCESS, res
+        n_lines += len(res[2])
+    elapsed = time.perf_counter() - start
+    return len(pages) / elapsed, n_lines / elapsed
+
+
+def measure_baseline() -> dict:
+    """Reference-style CPU run: one CPU device, per-line recognition."""
+    import jax
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        pipeline = build(det_chunk=8, per_line=True)
+        pages = make_volume(3)
+        pps, lps = run_volume(pipeline, pages, per_line=True)
+    return {
+        "pages_per_sec": pps,
+        "lines_per_sec": lps,
+        "mode": "cpu-1dev-per-line (reference-style)",
+        "pages": 3,
+    }
+
+
+def main():
+    from ocr_inference_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    if BASELINE_FILE.is_file():
+        baseline = json.loads(BASELINE_FILE.read_text())
+    else:
+        baseline = measure_baseline()
+        BASELINE_FILE.write_text(json.dumps(baseline, indent=2))
+
+    pipeline = build()
+    pages = make_volume(N_PAGES)
+    pps, lps = run_volume(pipeline, pages)
+
+    result = {
+        "metric": "pages_per_sec_end_to_end",
+        "value": round(pps, 3),
+        "unit": "pages/s",
+        "vs_baseline": round(pps / baseline["pages_per_sec"], 2),
+        "lines_per_sec": round(lps, 1),
+        "baseline_pages_per_sec": round(baseline["pages_per_sec"], 4),
+        "pages": N_PAGES,
+        "page_shape": [PAGE_H, PAGE_W],
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,493 @@
+"""Minimal protobuf wire-format codec for ONNX model files.
+
+The reference leans on the onnxruntime C++ runtime to load and execute
+``.onnx`` graphs (reference: BDRC/inference.py:128, 294); this framework
+instead parses the ONNX protobuf itself (no onnx/protobuf-compiled deps —
+just the wire format) and executes the graph through JAX (see
+``ocr_inference_tpu.onnx.runner``). The codec also *writes* the same subset,
+which the test suite uses to fabricate ONNX files and which gives the
+framework ONNX export capability.
+
+Only the message fields ONNX inference models actually use are mapped; all
+unknown fields are preserved (parse) or omitted (write).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from typing import Any, Iterator
+
+# wire types
+VARINT = 0
+I64 = 1
+LEN = 2
+I32 = 5
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _write_varint(value: int) -> bytes:
+    if value < 0:
+        value &= (1 << 64) - 1  # two's complement, 64-bit
+    out = bytearray()
+    while True:
+        b = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def iter_fields(buf: bytes) -> Iterator[tuple[int, int, Any]]:
+    """Yield (field_number, wire_type, raw_value) triples."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        tag, pos = _read_varint(buf, pos)
+        field_no = tag >> 3
+        wtype = tag & 0x7
+        if wtype == VARINT:
+            val, pos = _read_varint(buf, pos)
+        elif wtype == I64:
+            val = buf[pos : pos + 8]
+            pos += 8
+        elif wtype == LEN:
+            ln, pos = _read_varint(buf, pos)
+            val = buf[pos : pos + ln]
+            pos += ln
+        elif wtype == I32:
+            val = buf[pos : pos + 4]
+            pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wtype} at {pos}")
+        yield field_no, wtype, val
+
+
+def field_bytes(field_no: int, payload: bytes) -> bytes:
+    return _write_varint((field_no << 3) | LEN) + _write_varint(len(payload)) + payload
+
+
+def field_varint(field_no: int, value: int) -> bytes:
+    return _write_varint((field_no << 3) | VARINT) + _write_varint(value)
+
+
+def field_string(field_no: int, value: str) -> bytes:
+    return field_bytes(field_no, value.encode("utf-8"))
+
+
+def field_float(field_no: int, value: float) -> bytes:
+    return _write_varint((field_no << 3) | I32) + struct.pack("<f", value)
+
+
+def to_signed(value: int) -> int:
+    """Interpret a varint as a signed 64-bit int."""
+    if value >= 1 << 63:
+        return value - (1 << 64)
+    return value
+
+
+# ---------------------------------------------------------------------------
+# ONNX message views (parse side)
+# ---------------------------------------------------------------------------
+
+# TensorProto.data_type values
+TENSOR_DTYPES = {
+    1: "float32",
+    2: "uint8",
+    3: "int8",
+    4: "uint16",
+    5: "int16",
+    6: "int32",
+    7: "int64",
+    9: "bool",
+    10: "float16",
+    11: "float64",
+    12: "uint32",
+    13: "uint64",
+}
+
+
+@dataclass
+class TensorProto:
+    name: str = ""
+    dims: list[int] = field(default_factory=list)
+    data_type: int = 1
+    raw_data: bytes = b""
+    float_data: list[float] = field(default_factory=list)
+    int32_data: list[int] = field(default_factory=list)
+    int64_data: list[int] = field(default_factory=list)
+    double_data: list[float] = field(default_factory=list)
+
+    def to_numpy(self):
+        import numpy as np
+
+        dtype = TENSOR_DTYPES.get(self.data_type)
+        if dtype is None:
+            raise ValueError(f"unsupported tensor dtype {self.data_type}")
+        if self.raw_data:
+            arr = np.frombuffer(self.raw_data, dtype=np.dtype(dtype))
+        elif self.float_data:
+            arr = np.array(self.float_data, dtype=np.float32)
+        elif self.int64_data:
+            arr = np.array(self.int64_data, dtype=np.int64)
+        elif self.int32_data:
+            arr = np.array(self.int32_data, dtype=np.int32)
+        elif self.double_data:
+            arr = np.array(self.double_data, dtype=np.float64)
+        else:
+            arr = np.zeros(0, dtype=np.dtype(dtype))
+        # dims == [] means a scalar tensor, not "leave flat"
+        return arr.reshape(self.dims)
+
+
+def parse_tensor(buf: bytes) -> TensorProto:
+    t = TensorProto()
+    for fno, wtype, val in iter_fields(buf):
+        if fno == 1:
+            if wtype == VARINT:
+                t.dims.append(to_signed(val))
+            else:  # packed
+                pos = 0
+                while pos < len(val):
+                    v, pos = _read_varint(val, pos)
+                    t.dims.append(to_signed(v))
+        elif fno == 2:
+            t.data_type = val
+        elif fno == 4:
+            if wtype == I32:
+                t.float_data.append(struct.unpack("<f", val)[0])
+            else:  # packed floats
+                t.float_data.extend(
+                    struct.unpack(f"<{len(val) // 4}f", val)
+                )
+        elif fno == 5:
+            if wtype == VARINT:
+                t.int32_data.append(to_signed(val))
+            else:
+                pos = 0
+                while pos < len(val):
+                    v, pos = _read_varint(val, pos)
+                    t.int32_data.append(to_signed(v))
+        elif fno == 7:
+            if wtype == VARINT:
+                t.int64_data.append(to_signed(val))
+            else:
+                pos = 0
+                while pos < len(val):
+                    v, pos = _read_varint(val, pos)
+                    t.int64_data.append(to_signed(v))
+        elif fno == 8:
+            t.name = val.decode("utf-8")
+        elif fno == 9:
+            t.raw_data = val
+        elif fno == 10:
+            if wtype == I64:
+                t.double_data.append(struct.unpack("<d", val)[0])
+            else:
+                t.double_data.extend(
+                    struct.unpack(f"<{len(val) // 8}d", val)
+                )
+    return t
+
+
+# AttributeProto.type values
+ATTR_FLOAT, ATTR_INT, ATTR_STRING, ATTR_TENSOR, ATTR_GRAPH = 1, 2, 3, 4, 5
+ATTR_FLOATS, ATTR_INTS, ATTR_STRINGS = 6, 7, 8
+
+
+@dataclass
+class Attribute:
+    name: str = ""
+    type: int = 0
+    f: float = 0.0
+    i: int = 0
+    s: bytes = b""
+    t: TensorProto | None = None
+    floats: list[float] = field(default_factory=list)
+    ints: list[int] = field(default_factory=list)
+    strings: list[bytes] = field(default_factory=list)
+    g: "Graph | None" = None
+
+    @property
+    def value(self):
+        if self.type == ATTR_FLOAT:
+            return self.f
+        if self.type == ATTR_INT:
+            return self.i
+        if self.type == ATTR_STRING:
+            return self.s.decode("utf-8")
+        if self.type == ATTR_TENSOR:
+            return self.t.to_numpy()
+        if self.type == ATTR_FLOATS:
+            return list(self.floats)
+        if self.type == ATTR_INTS:
+            return list(self.ints)
+        if self.type == ATTR_STRINGS:
+            return [s.decode("utf-8") for s in self.strings]
+        if self.type == ATTR_GRAPH:
+            return self.g
+        return None
+
+
+def parse_attribute(buf: bytes) -> Attribute:
+    a = Attribute()
+    for fno, wtype, val in iter_fields(buf):
+        if fno == 1:
+            a.name = val.decode("utf-8")
+        elif fno == 2:
+            a.f = struct.unpack("<f", val)[0]
+        elif fno == 3:
+            a.i = to_signed(val)
+        elif fno == 4:
+            a.s = val
+        elif fno == 5:
+            a.t = parse_tensor(val)
+        elif fno == 6:
+            a.g = parse_graph(val)
+        elif fno == 7:
+            if wtype == I32:
+                a.floats.append(struct.unpack("<f", val)[0])
+            else:
+                a.floats.extend(struct.unpack(f"<{len(val) // 4}f", val))
+        elif fno == 8:
+            if wtype == VARINT:
+                a.ints.append(to_signed(val))
+            else:
+                pos = 0
+                while pos < len(val):
+                    v, pos = _read_varint(val, pos)
+                    a.ints.append(to_signed(v))
+        elif fno == 9:
+            a.strings.append(val)
+        elif fno == 20:
+            a.type = val
+    return a
+
+
+@dataclass
+class Node:
+    op_type: str = ""
+    name: str = ""
+    inputs: list[str] = field(default_factory=list)
+    outputs: list[str] = field(default_factory=list)
+    attributes: dict[str, Attribute] = field(default_factory=dict)
+
+    def attr(self, name: str, default=None):
+        a = self.attributes.get(name)
+        return a.value if a is not None else default
+
+
+def parse_node(buf: bytes) -> Node:
+    n = Node()
+    for fno, _, val in iter_fields(buf):
+        if fno == 1:
+            n.inputs.append(val.decode("utf-8"))
+        elif fno == 2:
+            n.outputs.append(val.decode("utf-8"))
+        elif fno == 3:
+            n.name = val.decode("utf-8")
+        elif fno == 4:
+            n.op_type = val.decode("utf-8")
+        elif fno == 7:
+            a = parse_attribute(val)
+            n.attributes[a.name] = a
+    return n
+
+
+@dataclass
+class ValueInfo:
+    name: str = ""
+    elem_type: int = 1
+    shape: list[int | str | None] = field(default_factory=list)
+
+
+def _parse_value_info(buf: bytes) -> ValueInfo:
+    vi = ValueInfo()
+    for fno, _, val in iter_fields(buf):
+        if fno == 1:
+            vi.name = val.decode("utf-8")
+        elif fno == 2:  # TypeProto
+            for f2, _, v2 in iter_fields(val):
+                if f2 == 1:  # tensor_type
+                    for f3, _, v3 in iter_fields(v2):
+                        if f3 == 1:
+                            vi.elem_type = v3
+                        elif f3 == 2:  # TensorShapeProto
+                            for f4, _, v4 in iter_fields(v3):
+                                if f4 == 1:  # Dimension
+                                    dim_val: int | str | None = None
+                                    for f5, _, v5 in iter_fields(v4):
+                                        if f5 == 1:
+                                            dim_val = to_signed(v5)
+                                        elif f5 == 2:
+                                            dim_val = v5.decode("utf-8")
+                                    vi.shape.append(dim_val)
+    return vi
+
+
+@dataclass
+class Graph:
+    name: str = ""
+    nodes: list[Node] = field(default_factory=list)
+    initializers: dict[str, TensorProto] = field(default_factory=dict)
+    inputs: list[ValueInfo] = field(default_factory=list)
+    outputs: list[ValueInfo] = field(default_factory=list)
+
+
+def parse_graph(buf: bytes) -> Graph:
+    g = Graph()
+    for fno, _, val in iter_fields(buf):
+        if fno == 1:
+            g.nodes.append(parse_node(val))
+        elif fno == 2:
+            g.name = val.decode("utf-8")
+        elif fno == 5:
+            t = parse_tensor(val)
+            g.initializers[t.name] = t
+        elif fno == 11:
+            g.inputs.append(_parse_value_info(val))
+        elif fno == 12:
+            g.outputs.append(_parse_value_info(val))
+    return g
+
+
+@dataclass
+class Model:
+    ir_version: int = 0
+    producer: str = ""
+    opset: int = 0
+    graph: Graph = field(default_factory=Graph)
+
+
+def parse_model(buf: bytes) -> Model:
+    m = Model()
+    for fno, _, val in iter_fields(buf):
+        if fno == 1:
+            m.ir_version = val
+        elif fno == 2:
+            m.producer = val.decode("utf-8")
+        elif fno == 8:
+            m.graph = parse_graph(val)
+        elif fno == 14:  # OperatorSetIdProto
+            for f2, _, v2 in iter_fields(val):
+                if f2 == 2:
+                    m.opset = max(m.opset, to_signed(v2))
+    return m
+
+
+def load_model(path) -> Model:
+    with open(path, "rb") as f:
+        return parse_model(f.read())
+
+
+# ---------------------------------------------------------------------------
+# Writer (subset) — used for tests and ONNX export
+# ---------------------------------------------------------------------------
+
+def encode_tensor(name: str, array) -> bytes:
+    import numpy as np
+
+    arr = np.asarray(array)
+    dtype_map = {v: k for k, v in TENSOR_DTYPES.items()}
+    out = b""
+    for d in arr.shape:
+        out += field_varint(1, d)
+    out += field_varint(2, dtype_map[str(arr.dtype)])
+    out += field_string(8, name)
+    out += field_bytes(9, arr.tobytes())
+    return out
+
+
+def encode_attribute(name: str, value) -> bytes:
+    import numpy as np
+
+    out = field_string(1, name)
+    if isinstance(value, bool):
+        out += field_varint(3, int(value)) + field_varint(20, ATTR_INT)
+    elif isinstance(value, int):
+        out += field_varint(3, value) + field_varint(20, ATTR_INT)
+    elif isinstance(value, float):
+        out += field_float(2, value) + field_varint(20, ATTR_FLOAT)
+    elif isinstance(value, str):
+        out += field_bytes(4, value.encode()) + field_varint(20, ATTR_STRING)
+    elif isinstance(value, np.ndarray):
+        out += field_bytes(5, encode_tensor("", value))
+        out += field_varint(20, ATTR_TENSOR)
+    elif isinstance(value, (list, tuple)) and value and isinstance(value[0], float):
+        for v in value:
+            out += field_float(7, v)
+        out += field_varint(20, ATTR_FLOATS)
+    elif isinstance(value, (list, tuple)):
+        for v in value:
+            out += field_varint(8, int(v))
+        out += field_varint(20, ATTR_INTS)
+    else:
+        raise TypeError(f"unsupported attribute value {value!r}")
+    return out
+
+
+def encode_node(op_type: str, inputs, outputs, name: str = "", **attrs) -> bytes:
+    out = b""
+    for i in inputs:
+        out += field_string(1, i)
+    for o in outputs:
+        out += field_string(2, o)
+    out += field_string(3, name or op_type)
+    out += field_string(4, op_type)
+    for k, v in attrs.items():
+        out += field_bytes(7, encode_attribute(k, v))
+    return out
+
+
+def encode_value_info(name: str, elem_type: int, shape) -> bytes:
+    dims = b""
+    for d in shape:
+        if isinstance(d, str):
+            dim = field_string(2, d)
+        else:
+            dim = field_varint(1, int(d))
+        dims += field_bytes(1, dim)
+    shape_proto = dims
+    tensor_type = field_varint(1, elem_type) + field_bytes(2, shape_proto)
+    type_proto = field_bytes(1, tensor_type)
+    return field_string(1, name) + field_bytes(2, type_proto)
+
+
+def encode_model(
+    nodes: list[bytes],
+    initializers: list[bytes],
+    inputs: list[bytes],
+    outputs: list[bytes],
+    graph_name: str = "graph",
+    opset: int = 17,
+) -> bytes:
+    g = b""
+    for n in nodes:
+        g += field_bytes(1, n)
+    g += field_string(2, graph_name)
+    for t in initializers:
+        g += field_bytes(5, t)
+    for i in inputs:
+        g += field_bytes(11, i)
+    for o in outputs:
+        g += field_bytes(12, o)
+    opset_proto = field_varint(2, opset)
+    return (
+        field_varint(1, 8)  # ir_version
+        + field_string(2, "ocr_inference_tpu")
+        + field_bytes(8, g)
+        + field_bytes(14, opset_proto)
+    )

@@ -1,0 +1,142 @@
+"""Device mesh runtime: data/model-parallel sharding for batch OCR.
+
+The reference has no multi-device execution at all (SURVEY §2.3: DataLoader
+workers and one GPU are its only parallelism). This module is the TPU-native
+equivalent: a ``jax.sharding.Mesh`` spanning ICI within a slice (and DCN
+across hosts via ``jax.distributed``), with NamedSharding annotations on
+batches and parameters; XLA inserts the collectives.
+
+Axes:
+- ``data``  — pages / tiles / line batches (the dominant axis for OCR
+              inference; BASELINE config 5's multi-volume sweep);
+- ``model`` — optional tensor-parallel axis for wide recognizer heads
+              (large stack charsets) and the training step.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def distributed_init() -> None:
+    """Multi-host init (jax.distributed), no-op when single-host or already
+    initialized. Controlled by the standard JAX cluster env vars."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    ):
+        try:
+            jax.distributed.initialize()
+        except RuntimeError:
+            pass  # already initialized
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    model_parallel: int = 1,
+    devices: Optional[Sequence] = None,
+    backend: Optional[str] = None,
+) -> Mesh:
+    """Build a (data, model) mesh over the given/available devices.
+
+    ``model_parallel`` devices per model group; the rest go to data
+    parallelism. Defaults to all local devices and model_parallel=1 (pure
+    DP — correct for the small OCR nets).
+    """
+    if devices is None:
+        devices = (
+            jax.local_devices(backend=backend) if backend else jax.devices()
+        )
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    devices = list(devices)
+    n = len(devices)
+    if n % model_parallel != 0:
+        raise ValueError(
+            f"{n} devices not divisible by model_parallel={model_parallel}"
+        )
+    dp = n // model_parallel
+    mesh_devices = np.array(devices).reshape(dp, model_parallel)
+    return Mesh(mesh_devices, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis, replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Device-put a pytree of host arrays with batch-dim sharding."""
+    return jax.tree.map(
+        lambda x: jax.device_put(
+            x, batch_sharding(mesh, np.ndim(x)) if np.ndim(x) else replicated(mesh)
+        ),
+        batch,
+    )
+
+
+def replicate_params(mesh: Mesh, params: Any) -> Any:
+    return jax.tree.map(lambda x: jax.device_put(x, replicated(mesh)), params)
+
+
+def pad_to_multiple_of(batch: np.ndarray, multiple: int) -> tuple[np.ndarray, int]:
+    """Pad the batch dim so it divides the data axis; returns (padded, n_pad)."""
+    n = batch.shape[0]
+    rem = (-n) % multiple
+    if rem == 0:
+        return batch, 0
+    pad = np.zeros((rem,) + batch.shape[1:], batch.dtype)
+    return np.concatenate([batch, pad]), rem
+
+
+def host_shard(items: Sequence, process_index: Optional[int] = None,
+               process_count: Optional[int] = None) -> list:
+    """Per-host input sharding: host i takes items i, i+P, i+2P, ...
+
+    Used by the batch CLIs on multi-host slices so each host reads only its
+    share of pages (SURVEY §5.8).
+    """
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    return list(items[pi::pc])
+
+
+class DataParallelRunner:
+    """Run a per-example device function over a mesh-sharded batch.
+
+    Wraps ``fn(params, batch) -> out`` with jit + shardings: params
+    replicated, batch/outputs sharded on the data axis. The host-side
+    ``__call__`` pads the batch to a multiple of the data-axis size and
+    strips the padding from outputs.
+    """
+
+    def __init__(self, mesh: Mesh, fn: Callable):
+        self.mesh = mesh
+        self._dp = mesh.shape[DATA_AXIS]
+        in_shardings = (
+            replicated(mesh),
+            NamedSharding(mesh, P(DATA_AXIS)),
+        )
+        self._jitted = jax.jit(
+            fn,
+            in_shardings=in_shardings,
+            out_shardings=NamedSharding(mesh, P(DATA_AXIS)),
+        )
+
+    def __call__(self, params: Any, batch: np.ndarray):
+        padded, n_pad = pad_to_multiple_of(np.asarray(batch), self._dp)
+        out = self._jitted(params, padded)
+        if n_pad:
+            out = jax.tree.map(lambda x: x[: batch.shape[0]], out)
+        return out

@@ -56,19 +56,17 @@ def _resolve_variables(model, init_fn, model_file: str, allow_random: bool,
     template = init_fn()
     if weights is not None:
         return load_params(template, weights)
-    if model_file and os.path.isfile(model_file) and model_file.endswith(".onnx"):
-        # Native-architecture import is handled by the ONNX executor engine
-        # (see build_onnx_* below); reaching here means the caller asked for
-        # a Flax-native engine without converted weights.
-        raise FileNotFoundError(
-            f"No native weights (.msgpack) found for {what} at {model_file}; "
-            f"run the ONNX importer first or use the ONNX executor engine."
-        )
     if allow_random:
         return template
     raise FileNotFoundError(
         f"No weights found for {what}: {model_file} "
         "(pass allow_random=True for smoke runs)"
+    )
+
+
+def _has_onnx(model_file: str) -> bool:
+    return bool(model_file) and model_file.endswith(".onnx") and os.path.isfile(
+        model_file
     )
 
 
@@ -80,6 +78,23 @@ def build_recognition_engine(
     dtype=jnp.bfloat16,
 ) -> RecognitionEngine:
     vocab_size = len(config.charset) + (1 if config.add_blank else 0)
+    # Prefer native msgpack weights; else execute the .onnx graph directly
+    # through the framework's ONNX executor (reference models load unchanged).
+    if _find_weights(config.model_file) is None and _has_onnx(config.model_file):
+        from ocr_inference_tpu.onnx import load_onnx_module
+
+        module = load_onnx_module(
+            config.model_file,
+            layout="line",
+            input_layer=config.input_layer,
+            output_layer=config.output_layer,
+            swap_hw=config.swap_hw,
+            squeeze_channel=config.squeeze_channel,
+            vocab_size=vocab_size,
+        )
+        return RecognitionEngine(
+            module, module.variables, config, kenlm_config, batch_cfg
+        )
     model = build_recognizer(config.architecture, vocab_size, dtype=dtype)
     variables = _resolve_variables(
         model,
@@ -98,6 +113,18 @@ def build_detection_engine(
 ) -> SegmentationEngine:
     is_layout = isinstance(config, LayoutDetectionConfig)
     n_classes = len(config.classes) if is_layout else 1
+    mode = "layout" if is_layout else "line"
+    if _find_weights(config.onnx_file) is None and _has_onnx(config.onnx_file):
+        from ocr_inference_tpu.onnx import load_onnx_module
+
+        module = load_onnx_module(config.onnx_file, layout="nhwc->nchw")
+        return SegmentationEngine(
+            module,
+            module.variables,
+            mode=mode,
+            patch_size=config.patch_size,
+            classes=config.classes,
+        )
     if is_layout or config.architecture.lower().startswith("deeplab"):
         model = DeepLabV3Plus(classes=n_classes, dtype=dtype)
     else:
@@ -112,7 +139,7 @@ def build_detection_engine(
     return SegmentationEngine(
         model,
         variables,
-        mode="layout" if is_layout else "line",
+        mode=mode,
         patch_size=config.patch_size,
         classes=config.classes,
     )

@@ -1,0 +1,208 @@
+"""Native (C++) components: geometry library and ARPA LM scorer.
+
+Shared objects build lazily with g++ on first use and load through ctypes;
+every native capability has a pure-Python/cv2 behavioral twin in the
+framework, so absence of a toolchain degrades gracefully.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_DIR = Path(__file__).resolve().parent
+_LIBS: dict[str, Optional[ctypes.CDLL]] = {}
+
+
+def _build_and_load(name: str, source: str) -> Optional[ctypes.CDLL]:
+    if name in _LIBS:
+        return _LIBS[name]
+    so_path = _DIR / f"lib{name}.so"
+    src_path = _DIR / source
+    try:
+        if (not so_path.is_file()
+                or so_path.stat().st_mtime < src_path.stat().st_mtime):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                 str(src_path), "-o", str(so_path)],
+                check=True,
+                capture_output=True,
+            )
+        lib = ctypes.CDLL(str(so_path))
+    except (OSError, subprocess.CalledProcessError) as e:
+        print(f"native {name} unavailable ({e}); using Python fallback")
+        lib = None
+    _LIBS[name] = lib
+    return lib
+
+
+# ---------------------------------------------------------------------------
+# Geometry
+# ---------------------------------------------------------------------------
+
+def _geometry_lib() -> Optional[ctypes.CDLL]:
+    lib = _build_and_load("ocr_geometry", "geometry.cpp")
+    if lib is not None and not getattr(lib, "_configured", False):
+        lib.ocr_find_contours.restype = ctypes.c_int
+        lib.ocr_contour_area.restype = ctypes.c_double
+        lib.ocr_convex_hull.restype = ctypes.c_int
+        lib._configured = True
+    return lib
+
+
+def native_available() -> bool:
+    return _geometry_lib() is not None
+
+
+def find_contours(mask: np.ndarray) -> list[np.ndarray]:
+    """One outer contour per 8-connected component, points as (N, 1, 2)
+    int32 arrays (cv2 convention)."""
+    lib = _geometry_lib()
+    if lib is None:
+        raise RuntimeError("native geometry library unavailable")
+    mask = np.ascontiguousarray((mask != 0).astype(np.uint8))
+    h, w = mask.shape
+    max_points = int(4 * h * w + 64)
+    max_contours = 65536
+    points = np.empty(max_points * 2, np.int32)
+    offsets = np.empty(max_contours + 1, np.int64)
+    n = lib.ocr_find_contours(
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h,
+        w,
+        points.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(max_points * 2),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        max_contours,
+    )
+    if n < 0:
+        raise RuntimeError(f"ocr_find_contours overflow (code {n})")
+    out = []
+    for i in range(n):
+        lo, hi = offsets[i], offsets[i + 1]
+        out.append(points[2 * lo : 2 * hi].reshape(-1, 1, 2).copy())
+    return out
+
+
+def contour_area(contour: np.ndarray) -> float:
+    lib = _geometry_lib()
+    pts = np.ascontiguousarray(contour.reshape(-1, 2).astype(np.int32))
+    return float(
+        lib.ocr_contour_area(
+            pts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(pts)
+        )
+    )
+
+
+def bounding_rect(contour: np.ndarray) -> tuple[int, int, int, int]:
+    lib = _geometry_lib()
+    pts = np.ascontiguousarray(contour.reshape(-1, 2).astype(np.int32))
+    out = np.empty(4, np.int32)
+    lib.ocr_bounding_rect(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(pts),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return tuple(int(v) for v in out)
+
+
+def convex_hull(contour: np.ndarray) -> np.ndarray:
+    lib = _geometry_lib()
+    pts = np.ascontiguousarray(contour.reshape(-1, 2).astype(np.int32))
+    out = np.empty((len(pts) + 1) * 2, np.int32)
+    n = lib.ocr_convex_hull(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(pts),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out[: 2 * n].reshape(-1, 1, 2).copy()
+
+
+def min_area_rect(contour: np.ndarray):
+    """((cx, cy), (w, h), angle_deg) like cv2.minAreaRect."""
+    lib = _geometry_lib()
+    pts = np.ascontiguousarray(contour.reshape(-1, 2).astype(np.int32))
+    out = np.empty(5, np.float64)
+    lib.ocr_min_area_rect(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(pts),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return (float(out[0]), float(out[1])), (float(out[2]), float(out[3])), float(out[4])
+
+
+# ---------------------------------------------------------------------------
+# ARPA LM
+# ---------------------------------------------------------------------------
+
+class NativeArpaLM:
+    """ctypes wrapper over the C++ ARPA scorer; same interface as
+    decode.arpa_lm.ArpaLM."""
+
+    def __init__(self, arpa_path):
+        lib = _build_and_load("ocr_arpa", "arpa_lm.cpp")
+        if lib is None:
+            raise RuntimeError("native arpa library unavailable")
+        if not getattr(lib, "_configured", False):
+            lib.ocr_arpa_load.restype = ctypes.c_void_p
+            lib.ocr_arpa_load.argtypes = [ctypes.c_char_p]
+            lib.ocr_arpa_free.argtypes = [ctypes.c_void_p]
+            lib.ocr_arpa_order.argtypes = [ctypes.c_void_p]
+            lib.ocr_arpa_order.restype = ctypes.c_int
+            lib.ocr_arpa_token_id.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+            lib.ocr_arpa_token_id.restype = ctypes.c_int32
+            lib.ocr_arpa_score.restype = ctypes.c_double
+            lib.ocr_arpa_score.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int,
+                ctypes.c_int32,
+            ]
+            lib._configured = True
+        self._lib = lib
+        self._handle = lib.ocr_arpa_load(str(arpa_path).encode())
+        if not self._handle:
+            raise FileNotFoundError(arpa_path)
+        self.order = lib.ocr_arpa_order(self._handle)
+        self._id_cache: dict[str, int] = {}
+
+    def __del__(self):
+        if getattr(self, "_handle", None):
+            self._lib.ocr_arpa_free(self._handle)
+            self._handle = None
+
+    def _tid(self, token: str) -> int:
+        tid = self._id_cache.get(token)
+        if tid is None:
+            tid = self._lib.ocr_arpa_token_id(self._handle, token.encode())
+            self._id_cache[token] = tid
+        return tid
+
+    def score(self, context: tuple[str, ...], token: str) -> float:
+        ids = (ctypes.c_int32 * len(context))(
+            *[self._tid(t) for t in context]
+        )
+        return self._lib.ocr_arpa_score(
+            self._handle, ids, len(context), self._tid(token)
+        )
+
+    def make_score_fn(self, charset: list[str], add_blank: bool = True):
+        """Same adapter as the Python ArpaLM (vocab +1 blank shift)."""
+        tids = [
+            self._tid(c) for c in charset
+        ]
+
+        def fn(prefix_ids: tuple[int, ...], next_id: int) -> float:
+            shift = 1 if add_blank else 0
+            ctx = (ctypes.c_int32 * len(prefix_ids))(
+                *[tids[i - shift] for i in prefix_ids]
+            )
+            return self._lib.ocr_arpa_score(
+                self._handle, ctx, len(prefix_ids), tids[next_id - shift]
+            )
+
+        return fn

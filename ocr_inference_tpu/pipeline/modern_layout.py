@@ -1,0 +1,134 @@
+"""Modern-book layout detection -> per-page JSON bboxes.
+
+Rework of the reference's torch DeepLabV3Plus path
+(reference: BDRC/inference.py:860-961, driven by
+ModernLayoutDetection.ipynb): pages stream through the layout
+SegmentationEngine (softmax over classes, threshold, masks resized to the
+original page on device), then per-class contours are unioned into one bbox
+and written as ``{class: {bbox: {x,y,w,h}}}`` JSON per page — the same
+output contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from concurrent.futures import ThreadPoolExecutor
+from glob import glob
+from typing import Optional
+
+import cv2
+import numpy as np
+
+from ocr_inference_tpu.core.assets import get_filename
+from ocr_inference_tpu.core.data import LayoutDetectionConfig
+from ocr_inference_tpu.geometry import get_union_bbox
+from ocr_inference_tpu.pipeline.engines import SegmentationEngine
+
+
+class ModernBookFormatLayoutDetection:
+    """Layout detection for modern book scans (headers/footers/...)."""
+
+    def __init__(
+        self,
+        config: LayoutDetectionConfig,
+        engine: Optional[SegmentationEngine] = None,
+        allow_random: bool = False,
+    ):
+        self.config = config
+        self.classes = config.classes
+        if engine is None:
+            from ocr_inference_tpu.pipeline.builder import build_detection_engine
+
+            engine = build_detection_engine(config, allow_random=allow_random)
+        self.engine = engine
+
+    def post_process_sample(
+        self, prediction: np.ndarray, class_index: int
+    ) -> dict | None:
+        """Union bbox of one class channel
+        (reference: inference.py:899-918)."""
+        class_map = prediction[:, :, class_index]
+        contours, _ = cv2.findContours(
+            class_map, cv2.RETR_LIST, cv2.CHAIN_APPROX_NONE
+        )
+        if len(contours) == 0:
+            return None
+        bbox, _ = get_union_bbox(list(contours))
+        if bbox is None:
+            return None
+        return {"bbox": {"x": bbox.x, "y": bbox.y, "w": bbox.w, "h": bbox.h}}
+
+    def extract_json_data(
+        self,
+        image_name: str,
+        prediction: np.ndarray,
+        filter_classes: Optional[list[str]],
+        output_dir: str,
+    ) -> dict:
+        """(reference: inference.py:868-891)."""
+        found: dict[str, dict] = {}
+        wanted = (
+            [c for c in self.classes if c in filter_classes]
+            if filter_classes
+            else self.classes
+        )
+        for class_name in wanted:
+            idx = self.classes.index(class_name)
+            bbox = self.post_process_sample(prediction, idx)
+            if bbox is None:
+                continue
+            found[class_name] = bbox
+        self.save_to_json(get_filename(image_name), output_dir, found)
+        return found
+
+    def save_to_json(self, image_name: str, output_dir: str, record: dict):
+        out_file = f"{output_dir}/{image_name}.json"
+        with open(out_file, "w", encoding="UTF-8") as f:
+            json.dump(record, f, ensure_ascii=False, indent=1)
+
+    def run(
+        self,
+        directory: str,
+        output_dir: str,
+        filter_classes: Optional[list[str]] = None,
+        batch_size: int = 4,
+        num_workers: int = 4,
+        class_threshold: float = 0.8,
+    ):
+        """Process every image in directory (reference: inference.py:921-961).
+
+        batch_size is kept for surface parity; page batching happens at the
+        tile level inside the engine.
+        """
+        if filter_classes:
+            for f_class in filter_classes:
+                if f_class not in self.classes:
+                    raise ValueError(
+                        f"ERROR: provided filter classes: {filter_classes} "
+                        "are not part of the model's classes!"
+                    )
+        os.makedirs(output_dir, exist_ok=True)
+
+        paths = sorted(
+            p
+            for p in glob(os.path.join(directory, "*"))
+            if p.lower().endswith((".jpg", ".png", ".jpeg"))
+        )
+
+        def load(path):
+            img = cv2.imread(path)
+            if img is None:
+                return path, None
+            return path, cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+        results = {}
+        with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            for path, img in pool.map(load, paths):
+                if img is None:
+                    continue
+                pred = self.engine.predict(img, class_threshold=class_threshold)
+                results[path] = self.extract_json_data(
+                    os.path.basename(path), pred, filter_classes, output_dir
+                )
+        return results

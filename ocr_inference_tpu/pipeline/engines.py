@@ -101,9 +101,12 @@ class SegmentationEngine:
             @jax.jit
             def fn(img):
                 padded = tiling.preprocess_page(img, plan)
-                bw = imaging.binarize(padded)
-                tiles = tiling.tile_page(bw, self.patch_size)
-                return tiles.astype(jnp.float32) / 255.0
+                tiles = tiling.tile_page(padded, self.patch_size)
+                # binarize per tile, as the reference does
+                # (inference.py:132-139) — the adaptive window does not see
+                # across tile borders
+                bw = jax.vmap(imaging.binarize)(tiles)
+                return bw.astype(jnp.float32) / 255.0
 
             return fn
 

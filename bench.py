@@ -105,21 +105,41 @@ def build(det_chunk: int = 32, per_line: bool = False):
     return OCRPipeline(rec, det)
 
 
-def run_volume(pipeline, pages, per_line: bool = False) -> float:
-    """Returns pages/sec over the volume (excluding warmup)."""
+def run_volume(pipeline, pages, per_line: bool = False):
+    """Returns (pages/sec, lines/sec) over the volume (excluding warmup).
+
+    The TPU path goes through VolumeRunner (cross-page line batching,
+    prefetch overlap); the reference-style baseline keeps the sequential
+    page-at-a-time loop the reference CLI uses.
+    """
     from ocr_inference_tpu.core.data import OpStatus
 
     # warmup: one page populates every jit cache
     status, res = pipeline.run_ocr(pages[0])
     assert status == OpStatus.SUCCESS, res
 
+    if per_line:
+        start = time.perf_counter()
+        n_lines = 0
+        for page in pages:
+            status, res = pipeline.run_ocr(page)
+            assert status == OpStatus.SUCCESS, res
+            n_lines += len(res[2])
+        elapsed = time.perf_counter() - start
+        return len(pages) / elapsed, n_lines / elapsed
+
+    from ocr_inference_tpu.pipeline import VolumeRunner
+
+    runner = VolumeRunner(pipeline, window_pages=8)
+    # warm the runner path once
+    runner.run([("w", pages[0])])
     start = time.perf_counter()
-    n_lines = 0
-    for page in pages:
-        status, res = pipeline.run_ocr(page)
-        assert status == OpStatus.SUCCESS, res
-        n_lines += len(res[2])
+    results = runner.run([(f"p{i}", p) for i, p in enumerate(pages)])
     elapsed = time.perf_counter() - start
+    assert all(r.status == OpStatus.SUCCESS for r in results), [
+        r.error for r in results if r.error
+    ]
+    n_lines = sum(len(r.ocr_lines) for r in results)
     return len(pages) / elapsed, n_lines / elapsed
 
 

@@ -10,3 +10,4 @@ from ocr_inference_tpu.pipeline.modern_layout import (  # noqa: F401
     ModernBookFormatLayoutDetection,
 )
 from ocr_inference_tpu.pipeline.runner import run_ocr_with_artifacts  # noqa: F401
+from ocr_inference_tpu.pipeline.volume import PageRecord, VolumeRunner  # noqa: F401

@@ -1,0 +1,216 @@
+"""Volume runner: batched multi-page OCR with cross-page line batching.
+
+The reference processes one page at a time and one line per recognizer call
+(reference: cli.py:113-139, inference.py:630-635). For volume workloads
+(BASELINE configs 4-5) this runner restructures the work TPU-first:
+
+- phase 1 (per page, pipelined): device detection + host geometry produce
+  line strips; disk/decode for page i+1 overlaps device work for page i via
+  a prefetch thread;
+- phase 2 (cross-page): ALL strips of the window are recognized together —
+  width buckets fill with lines from many pages, so the recognizer runs at
+  large batch sizes regardless of per-page line counts;
+- phase 3: results scatter back to their pages, convert encoding, export.
+
+Failure isolation is per page (a bad page never kills the volume), and the
+returned records carry the same payload as OCRPipeline.run_ocr.
+"""
+
+from __future__ import annotations
+
+import time
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterable, Optional
+
+import numpy as np
+
+from ocr_inference_tpu.core.data import Encoding, Line, OCRLine, OpStatus
+from ocr_inference_tpu.pipeline.ocr_pipeline import OCRPipeline
+
+
+@dataclass
+class PageRecord:
+    name: str
+    status: OpStatus
+    error: Optional[str] = None
+    mask: Optional[np.ndarray] = None
+    lines: list[Line] = field(default_factory=list)
+    ocr_lines: list[OCRLine] = field(default_factory=list)
+    angle: float = 0.0
+    timings_ms: dict[str, float] = field(default_factory=dict)
+
+
+class VolumeRunner:
+    """Cross-page batched execution of an OCRPipeline."""
+
+    def __init__(
+        self,
+        pipeline: OCRPipeline,
+        window_pages: int = 8,
+        prefetch_workers: int = 2,
+    ):
+        self.pipeline = pipeline
+        self.window_pages = max(1, window_pages)
+        self.prefetch_workers = prefetch_workers
+
+    # -- phase 1: one page to strips --
+
+    def _page_to_strips(self, name: str, image: np.ndarray, *,
+                        use_tps: bool, tps_threshold: float,
+                        merge_lines: bool, k_factor: float,
+                        bbox_tolerance: float):
+        p = self.pipeline
+        rec = PageRecord(name=name, status=OpStatus.SUCCESS)
+        t0 = time.perf_counter()
+        try:
+            status, mask = p.detect_lines(image)
+            rec.timings_ms["detect"] = (time.perf_counter() - t0) * 1000
+            if status == OpStatus.FAILED:
+                rec.status, rec.error = status, str(mask)
+                return rec, []
+            status, result = p.build_lines(image, mask)
+            if status == OpStatus.FAILED:
+                rec.status, rec.error = status, str(result)
+                return rec, []
+            rot_img, rot_mask, _, filtered, angle = result
+            status, dewarp = p.apply_dewarping(
+                rot_img, rot_mask, filtered, angle,
+                use_tps=use_tps, tps_threshold=tps_threshold,
+            )
+            if status == OpStatus.FAILED:
+                rec.status, rec.error = status, str(dewarp)
+                return rec, []
+            status, result = p.extract_lines(
+                dewarp.work_img, rot_mask, dewarp.filtered_contours,
+                merge_lines=merge_lines, k_factor=k_factor,
+                bbox_tolerance=bbox_tolerance,
+            )
+            if status == OpStatus.FAILED:
+                rec.status, rec.error = status, str(result)
+                return rec, []
+            sorted_lines, strips = result
+            # drop degenerate strips with their lines (reference behavior:
+            # inference.py:630-632 skips empty strips)
+            kept = [
+                (s, l)
+                for s, l in zip(strips, sorted_lines)
+                if s.shape[0] > 0 and s.shape[1] > 0
+            ]
+            strips = [s for s, _ in kept]
+            sorted_lines = [l for _, l in kept]
+            rec.mask = rot_mask
+            rec.lines = sorted_lines
+            rec.angle = float(angle)
+            rec.timings_ms["geometry"] = (
+                (time.perf_counter() - t0) * 1000 - rec.timings_ms["detect"]
+            )
+            return rec, strips
+        except Exception as e:  # page isolation
+            rec.status = OpStatus.FAILED
+            rec.error = f"page failed: {e}"
+            return rec, []
+
+    # -- main entry --
+
+    def run(
+        self,
+        images: Iterable[tuple[str, np.ndarray]] | Iterable[tuple[str, Callable[[], np.ndarray]]],
+        target_encoding: Encoding = Encoding.UNICODE,
+        use_tps: bool = False,
+        tps_threshold: float = 0.25,
+        merge_lines: bool = True,
+        k_factor: float = 2.5,
+        bbox_tolerance: float = 4.0,
+        on_page_done: Optional[Callable[[PageRecord], Any]] = None,
+    ) -> list[PageRecord]:
+        """Process the volume; ``images`` yields (name, array) or
+        (name, loader_callable) pairs — callables let disk decode overlap
+        device work."""
+        p = self.pipeline
+        results: list[PageRecord] = []
+
+        def materialize(item):
+            name, img = item
+            if callable(img):
+                img = img()
+            return name, img
+
+        items = list(images)
+        with ThreadPoolExecutor(max_workers=self.prefetch_workers) as pool:
+            loaded = pool.map(materialize, items)
+
+            window: list[tuple[PageRecord, list[np.ndarray]]] = []
+
+            def flush():
+                if not window:
+                    return
+                # phase 2: cross-page recognition over every strip at once
+                all_strips: list[np.ndarray] = []
+                spans: list[tuple[PageRecord, int, int]] = []
+                for rec, strips in window:
+                    start = len(all_strips)
+                    all_strips.extend(strips)
+                    spans.append((rec, start, len(all_strips)))
+                if all_strips:
+                    t0 = time.perf_counter()
+                    texts = p.ocr_inference.run_batch(
+                        all_strips, pre_pad=p.use_line_prepadding
+                    )
+                    rec_ms = (time.perf_counter() - t0) * 1000
+                else:
+                    texts, rec_ms = [], 0.0
+                # phase 3: scatter back + convert encoding
+                for rec, start, end in spans:
+                    rec.timings_ms["recognize"] = rec_ms * (
+                        (end - start) / max(len(all_strips), 1)
+                    )
+                    if rec.status == OpStatus.FAILED:
+                        results.append(rec)
+                        if on_page_done:
+                            on_page_done(rec)
+                        continue
+                    ocr_lines = []
+                    for text, info in zip(texts[start:end], rec.lines):
+                        pred = text.strip().replace("§", " ")
+                        pred = p._convert_text(pred, target_encoding)
+                        ocr_lines.append(
+                            OCRLine(
+                                guid=info.guid,
+                                text=pred,
+                                encoding=(
+                                    Encoding.WYLIE.name
+                                    if target_encoding == Encoding.WYLIE
+                                    else Encoding.UNICODE.name
+                                ),
+                                ctc_conf=None,
+                                logits=None,
+                                lm_scores=None,
+                            )
+                        )
+                    rec.ocr_lines = ocr_lines
+                    results.append(rec)
+                    if on_page_done:
+                        on_page_done(rec)
+                window.clear()
+
+            for name, img in loaded:
+                if img is None:
+                    rec = PageRecord(
+                        name=name, status=OpStatus.FAILED, error="load failed"
+                    )
+                    results.append(rec)
+                    if on_page_done:
+                        on_page_done(rec)
+                    continue
+                rec, strips = self._page_to_strips(
+                    name, img,
+                    use_tps=use_tps, tps_threshold=tps_threshold,
+                    merge_lines=merge_lines, k_factor=k_factor,
+                    bbox_tolerance=bbox_tolerance,
+                )
+                window.append((rec, strips))
+                if len(window) >= self.window_pages:
+                    flush()
+            flush()
+        return results

@@ -1,0 +1,73 @@
+"""VolumeRunner tests: cross-page batching, ordering, page isolation."""
+
+import numpy as np
+
+from ocr_inference_tpu.core.data import OpStatus
+from tests.test_pipeline import DensityLineModel, CHARSET, _page, engines  # noqa: F401
+
+from ocr_inference_tpu.pipeline import VolumeRunner
+
+
+def test_volume_runner_processes_pages(engines):
+    det, rec = engines
+    from ocr_inference_tpu.pipeline import OCRPipeline
+
+    pipeline = OCRPipeline(rec, det)
+    runner = VolumeRunner(pipeline, window_pages=3)
+
+    pages = [(f"p{i}", _page(n_lines=3 + (i % 2))) for i in range(5)]
+    done = []
+    results = runner.run(pages, on_page_done=lambda r: done.append(r.name))
+
+    assert len(results) == 5
+    assert [r.name for r in results] == [f"p{i}" for i in range(5)]
+    assert done == [r.name for r in results]
+    for i, rec_ in enumerate(results):
+        assert rec_.status == OpStatus.SUCCESS, rec_.error
+        expected = 3 + (i % 2)
+        assert len(rec_.lines) == expected
+        assert len(rec_.ocr_lines) == expected
+        ys = [l.center[1] for l in rec_.lines]
+        assert ys == sorted(ys)
+        assert "detect" in rec_.timings_ms
+
+
+def test_volume_runner_page_isolation(engines):
+    det, rec = engines
+    from ocr_inference_tpu.pipeline import OCRPipeline
+
+    pipeline = OCRPipeline(rec, det)
+    runner = VolumeRunner(pipeline, window_pages=2)
+    blank = np.full((600, 1200, 3), 235, np.uint8)
+    pages = [
+        ("good1", _page(n_lines=2)),
+        ("blank", blank),
+        ("bad", None),
+        ("good2", _page(n_lines=3)),
+    ]
+    results = runner.run(pages)
+    by_name = {r.name: r for r in results}
+    assert by_name["good1"].status == OpStatus.SUCCESS
+    assert by_name["good2"].status == OpStatus.SUCCESS
+    assert by_name["blank"].status == OpStatus.FAILED
+    assert by_name["bad"].status == OpStatus.FAILED
+    assert len(by_name["good2"].ocr_lines) == 3
+
+
+def test_volume_runner_lazy_loaders(engines):
+    det, rec = engines
+    from ocr_inference_tpu.pipeline import OCRPipeline
+
+    pipeline = OCRPipeline(rec, det)
+    runner = VolumeRunner(pipeline, window_pages=4)
+    calls = []
+
+    def loader(i):
+        def load():
+            calls.append(i)
+            return _page(n_lines=2)
+        return load
+
+    results = runner.run([(f"p{i}", loader(i)) for i in range(3)])
+    assert sorted(calls) == [0, 1, 2]
+    assert all(r.status == OpStatus.SUCCESS for r in results)

@@ -41,22 +41,19 @@ def _band_matrix(size: int, ksize: int, sigma: float = 0.0) -> np.ndarray:
     return m.astype(np.float32)
 
 
-def _binarize_kernel(img_ref, lmat_ref, rmat_ref, out_ref):
-    """One (H, W, 3) uint8 tile -> (H, W) uint8 binary mask."""
-    # cv2 5.x 15-bit fixed-point grayscale (bit-exact with ops.imaging)
-    ri = img_ref[..., 0].astype(jnp.int32)
-    gi = img_ref[..., 1].astype(jnp.int32)
-    bi = img_ref[..., 2].astype(jnp.int32)
-    gray_i = (ri * 9798 + gi * 19235 + bi * 3735 + 16384) >> 15
-    gray = gray_i.astype(jnp.float32)
+def _binarize_kernel(gray_ref, lmat_ref, rmat_ref, out_ref):
+    """One (H, W) float32 gray tile -> (H, W) float32 binary mask (0/255).
 
-    # separable blur as two MXU matmuls: L @ gray @ R
+    Channel mixing (grayscale) stays in XLA where the (H, W, 3) uint8
+    layout is handled well; the kernel fuses the expensive part: the
+    two banded MXU matmuls of the separable blur plus round/threshold,
+    with no intermediate HBM traffic.
+    """
+    gray = gray_ref[...]
     blurred = jnp.dot(lmat_ref[...], gray, preferred_element_type=jnp.float32)
     blurred = jnp.dot(blurred, rmat_ref[...], preferred_element_type=jnp.float32)
-
     mean_u8 = jnp.clip(jnp.round(blurred), 0.0, 255.0)
-    thresh = mean_u8 - 13.0
-    out_ref[...] = jnp.where(gray > thresh, 255, 0).astype(jnp.uint8)
+    out_ref[...] = jnp.where(gray > mean_u8 - 13.0, 255.0, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("block_size", "c"))
@@ -71,19 +68,23 @@ def binarize_tile_pallas(
     channel replication to 3 channels (cv2 API parity) is left to callers
     that need it.
     """
+    from ocr_inference_tpu.ops.imaging import rgb_to_gray
+
     h, w = tile.shape[0], tile.shape[1]
     lmat = jnp.asarray(_band_matrix(h, block_size))
     rmat = jnp.asarray(_band_matrix(w, block_size).T)
-    return pl.pallas_call(
+    gray = rgb_to_gray(tile).astype(jnp.float32) if tile.ndim == 3 else tile
+    out = pl.pallas_call(
         _binarize_kernel,
-        out_shape=jax.ShapeDtypeStruct((h, w), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-    )(tile, lmat, rmat)
+    )(gray, lmat, rmat)
+    return out.astype(jnp.uint8)
 
 
 def binarize_tiles_pallas(tiles: jax.Array) -> jax.Array:

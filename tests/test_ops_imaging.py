@@ -208,3 +208,25 @@ def test_ops_are_jittable(rng):
     assert out.shape == (256, 256, 3)
     jr = jax.jit(lambda x: imaging.resize_bilinear(x, 128, 128))
     assert jr(img).shape == (128, 128, 3)
+
+
+def test_pallas_binarize_kernel_semantics(rng):
+    """Fused Pallas binarize (interpret mode) is bit-exact vs the XLA path."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    from ocr_inference_tpu.ops.imaging import binarize, rgb_to_gray
+    from ocr_inference_tpu.ops.pallas_kernels import _band_matrix, _binarize_kernel
+
+    tile = rng.integers(0, 256, size=(256, 256, 3), dtype=np.uint8)
+    gray = np.asarray(rgb_to_gray(jnp.asarray(tile))).astype(np.float32)
+    lmat = _band_matrix(256, 51)
+    rmat = _band_matrix(256, 51).T
+    out = pl.pallas_call(
+        _binarize_kernel,
+        out_shape=jax.ShapeDtypeStruct((256, 256), jnp.float32),
+        interpret=True,
+    )(jnp.asarray(gray), jnp.asarray(lmat), jnp.asarray(rmat))
+    ref = np.asarray(binarize(jnp.asarray(tile)))[..., 0]
+    assert (np.asarray(out).astype(np.uint8) == ref).all()

@@ -451,3 +451,71 @@ def get_union_bbox(contours: list[np.ndarray]):
     (cx, cy), (width, height), angle = cv2.minAreaRect(all_points)
     points = cv2.boxPoints(((cx, cy), (width, height), angle)).astype(np.int32)
     return bbox, RotatedBBox((float(cx), float(cy)), width, height, angle, points)
+
+
+# ---------------------------------------------------------------------------
+# Text-area analysis (layout-era helpers)
+# ---------------------------------------------------------------------------
+
+def get_text_area(image: np.ndarray, prediction: np.ndarray):
+    """Biggest dilated text region -> (resized prediction, area mask,
+    area contour) (reference: BDRC/utils.py:576-608)."""
+    dil_kernel = np.ones((12, 2), np.uint8)
+    dil_prediction = cv2.dilate(prediction, kernel=dil_kernel, iterations=10)
+    prediction = cv2.resize(prediction, (image.shape[1], image.shape[0]))
+    dil_prediction = cv2.resize(dil_prediction, (image.shape[1], image.shape[0]))
+    contours, _ = cv2.findContours(
+        dil_prediction, cv2.RETR_LIST, cv2.CHAIN_APPROX_NONE
+    )
+    if len(contours) == 0:
+        return None, None, None
+    areas = [cv2.contourArea(x) for x in contours]
+    biggest = contours[int(np.argmax(areas))]
+    x, y, w, h = cv2.boundingRect(biggest)
+    area_mask = np.zeros((image.shape[0], image.shape[1], 3), dtype=np.float32)
+    cv2.rectangle(area_mask, (x, y), (x + w, y + h), (255, 255, 255), -1)
+    area_mask = cv2.cvtColor(area_mask, cv2.COLOR_BGR2GRAY)
+    return prediction, area_mask, biggest
+
+
+def is_inside_rectangle(point: tuple[float, float], rect) -> bool:
+    """(reference: BDRC/utils.py:661-664)."""
+    x, y = point
+    xmin, ymin, xmax, ymax = rect
+    return xmin <= x <= xmax and ymin <= y <= ymax
+
+
+def filter_contours_by_area(
+    prediction: np.ndarray, textarea_contour: np.ndarray
+) -> list[np.ndarray]:
+    """Keep line contours whose min-area-rect center falls inside the text
+    area (reference: BDRC/utils.py:667-681, named filter_contours there)."""
+    x, y, w, h = cv2.boundingRect(textarea_contour)
+    line_contours, _ = cv2.findContours(
+        prediction, cv2.RETR_LIST, cv2.CHAIN_APPROX_SIMPLE
+    )
+    filtered = []
+    for cnt in line_contours:
+        center, _, _ = cv2.minAreaRect(cnt)
+        if is_inside_rectangle(center, [x, y, x + w, y + h]):
+            filtered.append(cnt)
+    return filtered
+
+
+def post_process_prediction(image: np.ndarray, prediction: np.ndarray):
+    """Text-area crop + deskew of image and prediction
+    (reference: BDRC/utils.py:684-701)."""
+    prediction, text_area, textarea_contour = get_text_area(image, prediction)
+    if prediction is None:
+        return None, None, None, None
+    cropped = mask_n_crop(prediction, text_area)
+    angle = calculate_rotation_angle_from_lines(
+        cropped[..., 0] if cropped.ndim == 3 else cropped
+    )
+    rotated_image = rotate_from_angle(image, angle)
+    rotated_prediction = rotate_from_angle(prediction, angle)
+    moments = cv2.moments(textarea_contour)
+    cx = int(moments["m10"] / moments["m00"])
+    cy = int(moments["m01"] / moments["m00"])
+    rotated_contour = rotate_contour(textarea_contour, (cx, cy), angle)
+    return rotated_image, rotated_prediction, rotated_contour, angle

@@ -16,3 +16,4 @@ from ocr_inference_tpu.io.parquet import (  # noqa: F401
     save_ocr_lines_parquet,
     write_result_parquet,
 )
+from ocr_inference_tpu.io.dataset import ImageInferenceDataset  # noqa: F401

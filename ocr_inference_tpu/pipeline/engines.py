@@ -34,7 +34,7 @@ from ocr_inference_tpu.core.data import (
 )
 from ocr_inference_tpu.decode.ctc import greedy_decode
 from ocr_inference_tpu.decode.decoder import CTCDecoder
-from ocr_inference_tpu.ops import imaging, tiling
+from ocr_inference_tpu.ops import imaging, packing, tiling
 
 
 class _ShapeLRU:
@@ -129,14 +129,15 @@ class SegmentationEngine:
                         merged, plan.orig_h, plan.orig_w
                     )
                     # reference truncates (astype uint8) before *255
-                    # (inference.py:178-181)
-                    return out.astype(jnp.uint8) * 255
+                    # (inference.py:178-181): >= 1.0 survives
+                    return packing.pack_mask(out >= 1.0)
                 pred = jax.nn.softmax(logits_tiles, axis=-1)
                 pred = jnp.where(pred > threshold, 1.0, 0.0)
                 merged = tiling.stitch_tiles(pred, plan.y_steps)
                 merged = tiling.crop_padding(merged, plan.pad_x, plan.pad_y)
                 out = imaging.resize_bilinear(merged, plan.orig_h, plan.orig_w)
-                return out.astype(jnp.uint8) * 255
+                # (H, W, C) -> (C, H, W) so packing runs along W
+                return packing.pack_mask(jnp.transpose(out, (2, 0, 1)) >= 1.0)
 
             return fn
 
@@ -171,8 +172,15 @@ class SegmentationEngine:
         tiles = self._pre_fn(plan)(jnp.asarray(image))
         logits = self._run_tiles(tiles)
         n_classes = logits.shape[-1]
-        mask = self._post_fn(plan, class_threshold, n_classes)(logits)
-        return np.asarray(mask)
+        packed = np.asarray(
+            self._post_fn(plan, class_threshold, n_classes)(logits)
+        )
+        # masks travel bit-packed (32x less D2H traffic); unpack on host
+        bits = packing.unpack_mask(packed, w)
+        if self.mode == "line":
+            return (bits * 255).astype(np.uint8)
+        # (C, H, W) -> (H, W, C)
+        return (np.transpose(bits, (1, 2, 0)) * 255).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -272,18 +280,23 @@ class RecognitionEngine:
         bucket = tiling.bucket_for_width(
             img.shape[1], img.shape[0], self.config.input_height, self._buckets()
         )
-        return pad_ocr_line_host(img, bucket, self.config.input_height)
+        canvas = pad_ocr_line_host(img, bucket, self.config.input_height)
+        # grayscale on host (bit-exact with the device op) so the H2D
+        # transfer is 1 channel instead of 3
+        return cv2.cvtColor(canvas, cv2.COLOR_RGB2GRAY)
 
     def _forward_fn(self, batch: int, width: int, want_logits: bool):
         key = (batch, width, want_logits)
 
         def build():
             @jax.jit
-            def fn(variables, images_u8):
-                # (B, H, W, 3) uint8 canvas -> model input
-                bw = jax.vmap(imaging.binarize)(images_u8)
-                gray = jax.vmap(imaging.rgb_to_gray)(bw)
-                x = gray.astype(jnp.float32) / 127.5 - 1.0  # (B, H, W)
+            def fn(variables, gray_u8):
+                # (B, H, W) uint8 gray canvas -> binarize -> [-1, 1]
+                # (reference line prep: pad -> binarize -> gray -> scale,
+                # inference.py:336-347; gray/binarize/gray collapses to
+                # gray -> adaptive threshold)
+                bw = jax.vmap(imaging.adaptive_threshold_gaussian)(gray_u8)
+                x = bw.astype(jnp.float32) / 127.5 - 1.0  # (B, H, W)
                 logits = self.model.apply(variables, x, train=False)
                 if want_logits:
                     return logits
@@ -310,7 +323,7 @@ class RecognitionEngine:
                     b *= 2
                 b = min(b, bmax)
                 arr = np.zeros(
-                    (b, self.config.input_height, width, 3), np.uint8
+                    (b, self.config.input_height, width), np.uint8
                 )
                 for i, (_, canvas) in enumerate(chunk):
                     arr[i] = canvas

@@ -6,3 +6,10 @@ from ocr_inference_tpu.utils.runtime import (  # noqa: F401
     stage_timer,
     trace_profile,
 )
+from ocr_inference_tpu.utils.preview import (  # noqa: F401
+    create_layout_preview,
+    create_preview_image,
+    draw_bbox,
+    draw_rotated_bbox,
+    generate_line_preview,
+)

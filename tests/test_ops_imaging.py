@@ -230,3 +230,16 @@ def test_pallas_binarize_kernel_semantics(rng):
     )(jnp.asarray(gray), jnp.asarray(lmat), jnp.asarray(rmat))
     ref = np.asarray(binarize(jnp.asarray(tile)))[..., 0]
     assert (np.asarray(out).astype(np.uint8) == ref).all()
+
+
+def test_pack_unpack_mask_roundtrip(rng):
+    import jax.numpy as jnp
+
+    from ocr_inference_tpu.ops.packing import pack_mask, unpack_mask
+
+    for shape in [(64, 100), (3, 50, 257), (128, 2640)]:
+        mask = (rng.random(shape) > 0.5).astype(np.uint8)
+        packed = np.asarray(pack_mask(jnp.asarray(mask)))
+        assert packed.dtype == np.int32
+        back = unpack_mask(packed, shape[-1])
+        np.testing.assert_array_equal(back, mask)

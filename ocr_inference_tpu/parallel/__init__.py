@@ -12,4 +12,5 @@ from ocr_inference_tpu.parallel.mesh import (  # noqa: F401
     replicate_params,
     replicated,
     shard_batch,
+    tp_shardings,
 )

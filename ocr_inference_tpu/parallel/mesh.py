@@ -76,6 +76,48 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _first_dict_key(path) -> Optional[str]:
+    """The first mapping key along a pytree path — i.e. the top-level module
+    name inside a flax param dict, skipping namedtuple/sequence wrappers
+    (optimizer-state containers)."""
+    for entry in path:
+        if hasattr(entry, "key"):  # DictKey
+            return str(entry.key)
+    return None
+
+
+def tp_shardings(mesh: Mesh, tree: Any, head_module: str = "Conv_0") -> Any:
+    """Sharding tree for tensor-parallel recognizer heads.
+
+    Leaves whose top-level param-dict module is ``head_module`` (the final
+    vocab-width conv of Easter2 — matched by PATH, never by dimension size,
+    so hidden layers that happen to share the vocab width, or same-named
+    convs nested inside other blocks, are never sharded accidentally) get
+    their last dim split over the model axis when it divides evenly;
+    everything else is replicated. Works on params and optimizer-state trees
+    alike: optax moments mirror the param dict inside namedtuple wrappers,
+    which ``_first_dict_key`` skips. Pass the params/batch_stats/opt_state
+    subtrees directly, not a surrounding ``{"params": ...}`` dict.
+    """
+    tp = mesh.shape[MODEL_AXIS]
+
+    def leaf_fn(path, leaf):
+        in_head = _first_dict_key(path) == head_module
+        if (
+            tp > 1
+            and in_head
+            and hasattr(leaf, "ndim")
+            and leaf.ndim >= 1
+            and leaf.shape[-1] % tp == 0
+        ):
+            return NamedSharding(
+                mesh, P(*([None] * (leaf.ndim - 1)), MODEL_AXIS)
+            )
+        return replicated(mesh)
+
+    return jax.tree_util.tree_map_with_path(leaf_fn, tree)
+
+
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
     """Device-put a pytree of host arrays with batch-dim sharding."""
     return jax.tree.map(

@@ -11,6 +11,7 @@ from ocr_inference_tpu.parallel import (
     make_mesh,
     pad_to_multiple_of,
     shard_batch,
+    tp_shardings,
 )
 from ocr_inference_tpu.training import (
     init_train_state,
@@ -81,6 +82,51 @@ def test_train_step_runs_and_reduces_loss(cpu_devices):
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]  # memorizes a fixed batch
     assert int(state_t[3]) == 5
+
+
+def test_tp_shardings_shard_head_by_path_only(cpu_devices):
+    """Only the head module's leaves get the model axis — matched by param
+    path, so hidden layers whose width happens to equal the vocab size
+    (here vocab 128 == Easter2 stem width 128) are never sharded."""
+    mesh = make_mesh(devices=cpu_devices, model_parallel=2)
+    vocab = 128  # collides with stem_features=128 on purpose
+    model = Easter2(vocab_size=vocab, dtype=jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 64), jnp.float32), train=False
+    )
+    shardings = tp_shardings(mesh, variables["params"])
+    flat = jax.tree_util.tree_flatten_with_path(shardings)[0]
+    sharded = [
+        jax.tree_util.keystr(path)
+        for path, s in flat
+        if s.spec and s.spec[-1] == "model"
+    ]
+    assert sharded, "head leaves must be TP-sharded"
+    for name in sharded:
+        assert "Conv_0" in name, f"non-head leaf sharded: {name}"
+    # both head kernel and bias covered
+    assert any("kernel" in n for n in sharded)
+    assert any("bias" in n for n in sharded)
+    # a stem leaf with last dim == vocab stays replicated
+    stem_leaves = [
+        (path, s) for path, s in flat if "ConvBN1D_0" in jax.tree_util.keystr(path)
+    ]
+    assert stem_leaves
+    assert all(s.spec == () or all(a is None for a in s.spec) for _, s in stem_leaves)
+
+
+def test_dryrun_multichip_entrypoint(cpu_devices):
+    """The driver's multichip dryrun must pass on the virtual CPU mesh."""
+    import importlib.util
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", root / "__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
 
 
 def test_train_step_single_device_equivalence():

@@ -39,6 +39,29 @@ from ocr_inference_tpu.pipeline.engines import RecognitionEngine, SegmentationEn
 from ocr_inference_tpu.text import Converter
 
 
+class PipelineObserver:
+    """Stage-event protocol for observability around ``run_ocr``.
+
+    The pipeline emits events; subscribers (audit loggers, artifact dumpers,
+    progress UIs) derive whatever metadata/side effects they need from the
+    raw stage payloads. This inverts the reference's design, which re-states
+    the whole stage sequence inside its instrumentation wrapper
+    (reference: BDRC/pipeline.py:30-195).
+    """
+
+    def stage_start(self, stage: str) -> None:  # pragma: no cover - protocol
+        pass
+
+    def stage_end(self, stage: str, payload) -> None:  # pragma: no cover
+        pass
+
+    def stage_failed(self, stage: str, error: str) -> None:  # pragma: no cover
+        pass
+
+
+_NULL_OBSERVER = PipelineObserver()
+
+
 class OCRPipeline:
     """Page OCR pipeline over device engines.
 
@@ -290,75 +313,83 @@ class OCRPipeline:
         tps_threshold: float = 0.25,
         target_encoding: Encoding = Encoding.UNICODE,
         eval_mode: bool = False,
+        observer: Optional[PipelineObserver] = None,
     ):
         """Full page OCR (reference: inference.py:732-826): stages 1-5 with
         per-stage failure isolation; SUCCESS payload is
-        [rot_mask, sorted_lines, ocr_lines, page_angle]."""
+        [rot_mask, sorted_lines, ocr_lines, page_angle]. ``observer``
+        receives stage start/end/failed events with the raw payloads."""
+        obs = observer or _NULL_OBSERVER
+
+        def run_stage(stage: str, error_prefix: str, fn, *args, **kwargs):
+            """One stage with failure isolation + observer events; returns
+            (ok, payload) where payload is the error string when not ok."""
+            obs.stage_start(stage)
+            try:
+                status, result = fn(*args, **kwargs)
+            except Exception as e:
+                msg = f"{error_prefix}: {str(e)}"
+                obs.stage_failed(stage, msg)
+                return False, msg
+            if status == OpStatus.FAILED:
+                obs.stage_failed(stage, str(result))
+                return False, result
+            obs.stage_end(stage, result)
+            return True, result
+
         try:
             if not self.ready:
                 return OpStatus.FAILED, "OCR pipeline not ready"
             if image is None:
                 return OpStatus.FAILED, "Input image is None"
 
-            try:
-                status, result = self.detect_lines(image)
-                if status == OpStatus.FAILED:
-                    return status, result
-                line_mask = result
-            except Exception as e:
-                return OpStatus.FAILED, f"Line detection failed: {str(e)}"
+            ok, result = run_stage(
+                "line_detection", "Line detection failed",
+                self.detect_lines, image,
+            )
+            if not ok:
+                return OpStatus.FAILED, result
+            line_mask = result
 
-            try:
-                status, result = self.build_lines(image, line_mask)
-                if status == OpStatus.FAILED:
-                    return status, result
-                rot_img, rot_mask, _, filtered_contours, page_angle = result
-            except Exception as e:
-                return OpStatus.FAILED, f"Line data building failed: {str(e)}"
+            ok, result = run_stage(
+                "build_line_data", "Line data building failed",
+                self.build_lines, image, line_mask,
+            )
+            if not ok:
+                return OpStatus.FAILED, result
+            rot_img, rot_mask, _, filtered_contours, page_angle = result
 
-            try:
-                status, result = self.apply_dewarping(
-                    rot_img,
-                    rot_mask,
-                    filtered_contours,
-                    page_angle,
-                    use_tps=use_tps,
-                    tps_threshold=tps_threshold,
-                )
-                if status == OpStatus.FAILED:
-                    return status, result
-                dewarp_result = result
-            except Exception as e:
-                return OpStatus.FAILED, f"Line processing failed: {str(e)}"
+            ok, result = run_stage(
+                "dewarping", "Line processing failed",
+                self.apply_dewarping, rot_img, rot_mask, filtered_contours,
+                page_angle, use_tps=use_tps, tps_threshold=tps_threshold,
+            )
+            if not ok:
+                return OpStatus.FAILED, result
+            dewarp_result = result
 
-            try:
-                status, result = self.extract_lines(
-                    dewarp_result.work_img,
-                    rot_mask,
-                    dewarp_result.filtered_contours,
-                    merge_lines=merge_lines,
-                    k_factor=k_factor,
-                    bbox_tolerance=bbox_tolerance,
-                )
-                if status == OpStatus.FAILED:
-                    return status, result
-                sorted_lines, line_images = result
-            except Exception as e:
-                return OpStatus.FAILED, f"Line extraction failed: {str(e)}"
+            ok, result = run_stage(
+                "extract_lines", "Line extraction failed",
+                self.extract_lines, dewarp_result.work_img, rot_mask,
+                dewarp_result.filtered_contours, merge_lines=merge_lines,
+                k_factor=k_factor, bbox_tolerance=bbox_tolerance,
+            )
+            if not ok:
+                return OpStatus.FAILED, result
+            sorted_lines, line_images = result
 
-            try:
-                if eval_mode:
-                    status, ocr_lines = self.run_text_recognition_eval(
-                        line_images, sorted_lines, target_encoding=target_encoding
-                    )
-                else:
-                    status, ocr_lines = self.run_text_recognition(
-                        line_images, sorted_lines, target_encoding=target_encoding
-                    )
-                if status == OpStatus.FAILED:
-                    return status, ocr_lines
-            except Exception as e:
-                return OpStatus.FAILED, f"OCR processing failed: {str(e)}"
+            recognize = (
+                self.run_text_recognition_eval
+                if eval_mode
+                else self.run_text_recognition
+            )
+            ok, ocr_lines = run_stage(
+                "ocr_inference", "OCR processing failed",
+                recognize, line_images, sorted_lines,
+                target_encoding=target_encoding,
+            )
+            if not ok:
+                return OpStatus.FAILED, ocr_lines
 
             return OpStatus.SUCCESS, [
                 rot_mask,

@@ -1,8 +1,14 @@
-"""Instrumented pipeline runner: artifacts, audit log, exports, metrics.
+"""Instrumented page runs: a PipelineObserver that owns every side effect.
 
-Parity with the reference wrapper (reference: BDRC/pipeline.py:30-195) —
-same stage names, artifact names/subdirs, metrics keys, and export side
-effects — around the batched OCRPipeline.
+The reference implements observability by re-stating the whole stage sequence
+with audit/artifact calls interleaved (reference: BDRC/pipeline.py:30-195).
+Here the flow lives in OCRPipeline.run_ocr alone; this module only SUBSCRIBES
+to its stage events. ``PageObserver`` derives audit metadata from the raw
+stage payloads and dumps artifacts through a declarative per-stage table, and
+``run_ocr_with_artifacts`` wraps one page run with the job-level bookkeeping
+(exports, metrics). The on-disk contract — audit.log JSONL stage names,
+artifact names/subdirs, metrics.json keys, results exports — matches the
+reference.
 """
 
 from __future__ import annotations
@@ -15,7 +21,7 @@ import numpy as np
 from ocr_inference_tpu.core.data import ArtifactConfig, Encoding, Line, OpStatus
 from ocr_inference_tpu.io.artifacts import ArtifactManager, AuditLogger
 from ocr_inference_tpu.io.exporter import PageXMLExporter, TextExporter
-from ocr_inference_tpu.pipeline.ocr_pipeline import OCRPipeline
+from ocr_inference_tpu.pipeline.ocr_pipeline import OCRPipeline, PipelineObserver
 
 
 def serialize_contours(contours) -> List:
@@ -33,6 +39,122 @@ def serialize_lines(lines: List[Line]) -> List:
     ]
 
 
+class PageObserver(PipelineObserver):
+    """Audit + artifact side effects for one page, driven by stage events.
+
+    Audit records keep the reference's stage names and metadata keys; the
+    artifact tree keeps its names and subdirs (reference artifact calls:
+    BDRC/pipeline.py:87-163). The observer also accumulates the payload
+    facts the job-level metrics need (line counts, dewarping flag, angle).
+    """
+
+    def __init__(
+        self,
+        artifact_manager: Optional[ArtifactManager] = None,
+        audit_logger: Optional[AuditLogger] = None,
+        artifact_config: Optional[ArtifactConfig] = None,
+    ):
+        self.artifacts = artifact_manager
+        self.audit = audit_logger
+        self.config = artifact_config
+        self.tps_threshold: Optional[float] = None  # recorded in tps_analysis
+        # facts harvested from payloads, consumed by run_ocr_with_artifacts
+        self.page_angle: float = 0.0
+        self.dewarping_applied: bool = False
+        self.lines_detected: int = 0
+        self.lines_processed: int = 0
+
+    # -- event protocol --
+
+    def stage_start(self, stage: str) -> None:
+        if self.audit:
+            self.audit.log_stage_start(stage)
+
+    def stage_failed(self, stage: str, error: str) -> None:
+        if self.audit:
+            self.audit.log_error(error, stage=stage)
+
+    def stage_end(self, stage: str, payload: Any) -> None:
+        meta = getattr(self, f"_on_{stage}", lambda p: None)(payload)
+        if self.audit:
+            self.audit.log_stage_end(stage, status="success", metadata=meta)
+
+    # -- per-stage payload handlers (meta derivation + artifact dumps) --
+
+    def _save_detection(self) -> bool:
+        return bool(self.artifacts and self.config and self.config.save_detection)
+
+    def _on_line_detection(self, mask: np.ndarray) -> dict:
+        if self._save_detection():
+            self.artifacts.save_image("line_mask", mask, "detection")
+        return {"mask_shape": mask.shape}
+
+    def _on_build_line_data(self, payload) -> dict:
+        _, rot_mask, contours, filtered, angle = payload
+        self.page_angle = float(angle)
+        if self._save_detection():
+            self.artifacts.save_image("rotated_mask", rot_mask, "detection")
+            for name, cnts in (
+                ("contours_raw", contours),
+                ("contours_filtered", filtered),
+            ):
+                self.artifacts.save_json(
+                    name,
+                    {"count": len(cnts), "contours": serialize_contours(cnts)},
+                    "detection",
+                )
+        return {
+            "rotation_angle": angle,
+            "contour_count": len(contours),
+            "filtered_count": len(filtered),
+        }
+
+    def _on_dewarping(self, result) -> dict:
+        self.dewarping_applied = bool(result.applied)
+        save = self.artifacts and self.config and self.config.save_dewarping
+        if save and result.tps_ratio is not None:
+            self.artifacts.save_json(
+                "tps_analysis",
+                {
+                    "ratio": float(result.tps_ratio),
+                    "threshold": self.tps_threshold,
+                    "applied": result.applied,
+                },
+                "dewarping",
+            )
+            if result.applied and result.dewarped_mask is not None:
+                self.artifacts.save_image(
+                    "dewarped_mask", result.dewarped_mask, "dewarping"
+                )
+        return {
+            "tps_ratio": result.tps_ratio,
+            "dewarping_applied": result.applied,
+        }
+
+    def _on_extract_lines(self, payload) -> dict:
+        sorted_lines, _ = payload
+        self.lines_detected = len(sorted_lines)
+        if self.artifacts and self.config:
+            self.artifacts.save_json(
+                "lines",
+                {
+                    "count": len(sorted_lines),
+                    "lines": serialize_lines(sorted_lines),
+                },
+                "lines",
+            )
+        return {"lines_extracted": len(sorted_lines)}
+
+    def _on_ocr_inference(self, ocr_lines) -> dict:
+        self.lines_processed = len(ocr_lines)
+        if self.audit:
+            for idx in range(len(ocr_lines)):
+                self.audit.log_operation(
+                    f"ocr_line_{idx + 1}", stage="ocr_inference"
+                )
+        return {"lines_processed": len(ocr_lines)}
+
+
 def run_ocr_with_artifacts(
     pipeline: OCRPipeline,
     image: np.ndarray,
@@ -47,188 +169,66 @@ def run_ocr_with_artifacts(
     audit_logger: Optional[AuditLogger] = None,
     artifact_config: Optional[ArtifactConfig] = None,
 ) -> Tuple[OpStatus, Any]:
-    """Run OCR with artifact saving and audit logging
-    (reference: pipeline.py:30-195)."""
+    """One observed page run: run_ocr under a PageObserver, then exports and
+    metrics (reference surface: BDRC/pipeline.py:30-195)."""
+    started = time.perf_counter()
+    observer = PageObserver(artifact_manager, audit_logger, artifact_config)
+    observer.tps_threshold = tps_threshold
 
-    pipeline_start = time.perf_counter()
-    save_det = artifact_manager and artifact_config and artifact_config.save_detection
-    save_dew = artifact_manager and artifact_config and artifact_config.save_dewarping
-
-    def log_start(stage, meta=None):
-        if audit_logger:
-            audit_logger.log_stage_start(stage, metadata=meta)
-
-    def log_end(stage, meta=None):
-        if audit_logger:
-            audit_logger.log_stage_end(stage, status="success", metadata=meta)
-
-    def log_err(msg, stage):
-        if audit_logger:
-            audit_logger.log_error(msg, stage=stage)
-
-    log_start(
-        "ocr_pipeline",
-        {
-            "image_name": image_name,
-            "image_shape": image.shape,
-            "k_factor": k_factor,
-            "bbox_tolerance": bbox_tolerance,
-            "merge_lines": merge_lines,
-            "use_tps": use_tps,
-            "target_encoding": str(target_encoding),
-        },
-    )
-
+    if audit_logger:
+        audit_logger.log_stage_start(
+            "ocr_pipeline",
+            metadata={
+                "image_name": image_name,
+                "image_shape": image.shape,
+                "k_factor": k_factor,
+                "bbox_tolerance": bbox_tolerance,
+                "merge_lines": merge_lines,
+                "use_tps": use_tps,
+                "target_encoding": str(target_encoding),
+            },
+        )
     if artifact_manager:
         artifact_manager.create_directory_structure()
         artifact_manager.save_config()
 
-    try:
-        # STAGE 1: Line/Layout Detection
-        log_start("line_detection")
-        status, line_mask = pipeline.detect_lines(image)
-        if status == OpStatus.FAILED:
-            log_err(line_mask, "line_detection")
-            return status, line_mask
-        if save_det:
-            artifact_manager.save_image("line_mask", line_mask, "detection")
-        log_end("line_detection", {"mask_shape": line_mask.shape})
-
-        # STAGE 2: Build Line Data
-        log_start("build_line_data")
-        status, result = pipeline.build_lines(image, line_mask)
-        if status == OpStatus.FAILED:
-            log_err(result, "build_line_data")
-            return status, result
-        rot_img, rot_mask, line_contours, filtered_contours, page_angle = result
-        if save_det:
-            artifact_manager.save_image("rotated_mask", rot_mask, "detection")
-            artifact_manager.save_json(
-                "contours_raw",
-                {
-                    "count": len(line_contours),
-                    "contours": serialize_contours(line_contours),
-                },
-                "detection",
-            )
-            artifact_manager.save_json(
-                "contours_filtered",
-                {
-                    "count": len(filtered_contours),
-                    "contours": serialize_contours(filtered_contours),
-                },
-                "detection",
-            )
-        log_end(
-            "build_line_data",
-            {
-                "rotation_angle": page_angle,
-                "contour_count": len(line_contours),
-                "filtered_count": len(filtered_contours),
-            },
-        )
-
-        # STAGE 3: TPS Dewarping
-        log_start("dewarping")
-        status, dewarp_result = pipeline.apply_dewarping(
-            rot_img,
-            rot_mask,
-            filtered_contours,
-            page_angle,
-            use_tps=use_tps,
-            tps_threshold=tps_threshold,
-        )
-        if status == OpStatus.FAILED:
-            log_err(dewarp_result, "dewarping")
-            return status, dewarp_result
-        if save_dew and dewarp_result.tps_ratio is not None:
-            artifact_manager.save_json(
-                "tps_analysis",
-                {
-                    "ratio": float(dewarp_result.tps_ratio),
-                    "threshold": tps_threshold,
-                    "applied": dewarp_result.applied,
-                },
-                "dewarping",
-            )
-            if dewarp_result.applied and dewarp_result.dewarped_mask is not None:
-                artifact_manager.save_image(
-                    "dewarped_mask", dewarp_result.dewarped_mask, "dewarping"
-                )
-        log_end(
-            "dewarping",
-            {
-                "tps_ratio": dewarp_result.tps_ratio,
-                "dewarping_applied": dewarp_result.applied,
-            },
-        )
-
-        # STAGE 4: Extract Lines
-        log_start("extract_lines")
-        status, result = pipeline.extract_lines(
-            dewarp_result.work_img,
-            rot_mask,
-            dewarp_result.filtered_contours,
-            merge_lines=merge_lines,
-            k_factor=k_factor,
-            bbox_tolerance=bbox_tolerance,
-        )
-        if status == OpStatus.FAILED:
-            log_err(result, "extract_lines")
-            return status, result
-        sorted_lines, line_images = result
-        if artifact_manager and artifact_config:
-            artifact_manager.save_json(
-                "lines",
-                {"count": len(sorted_lines), "lines": serialize_lines(sorted_lines)},
-                "lines",
-            )
-        log_end("extract_lines", {"lines_extracted": len(sorted_lines)})
-
-        # STAGE 5: OCR Inference
-        log_start("ocr_inference")
-        status, ocr_lines = pipeline.run_text_recognition(
-            line_images, sorted_lines, target_encoding=target_encoding
-        )
-        if status == OpStatus.FAILED:
-            log_err(ocr_lines, "ocr_inference")
-            return status, ocr_lines
-        if audit_logger:
-            for idx in range(len(ocr_lines)):
-                audit_logger.log_operation(
-                    f"ocr_line_{idx + 1}", stage="ocr_inference"
-                )
-        log_end("ocr_inference", {"lines_processed": len(ocr_lines)})
-
-        # STAGE 6: Save Results
-        if artifact_manager:
-            results_dir = artifact_manager.get_results_dir()
-            TextExporter(str(results_dir)).export_lines(
-                image, image_name, sorted_lines, ocr_lines
-            )
-            PageXMLExporter(str(results_dir)).export_lines(
-                image, image_name, sorted_lines, ocr_lines, angle=page_angle
-            )
-
-        pipeline_duration = (time.perf_counter() - pipeline_start) * 1000
-        log_end("ocr_pipeline")
-
-        if artifact_manager:
-            artifact_manager.save_metrics(
-                {
-                    "total_duration_ms": pipeline_duration,
-                    "lines_detected": len(sorted_lines),
-                    "lines_processed": len(ocr_lines),
-                    "dewarping_applied": dewarp_result.applied,
-                    "rotation_angle": page_angle,
-                    "image_name": image_name,
-                }
-            )
-
-        return OpStatus.SUCCESS, (rot_mask, sorted_lines, ocr_lines, page_angle)
-
-    except Exception as e:
-        log_err(f"OCR pipeline failed: {e}", "ocr_pipeline")
+    status, result = pipeline.run_ocr(
+        image,
+        k_factor=k_factor,
+        bbox_tolerance=bbox_tolerance,
+        merge_lines=merge_lines,
+        use_tps=use_tps,
+        tps_threshold=tps_threshold,
+        target_encoding=target_encoding,
+        observer=observer,
+    )
+    if status == OpStatus.FAILED:
         if audit_logger:
             audit_logger.log_stage_end("ocr_pipeline", status="failure")
-        return OpStatus.FAILED, f"OCR pipeline failed: {e}"
+        return status, result
+
+    rot_mask, sorted_lines, ocr_lines, page_angle = result
+
+    if artifact_manager:
+        results_dir = str(artifact_manager.get_results_dir())
+        TextExporter(results_dir).export_lines(
+            image, image_name, sorted_lines, ocr_lines
+        )
+        PageXMLExporter(results_dir).export_lines(
+            image, image_name, sorted_lines, ocr_lines, angle=page_angle
+        )
+
+    if audit_logger:
+        audit_logger.log_stage_end("ocr_pipeline", status="success")
+    if artifact_manager:
+        artifact_manager.save_metrics(
+            {
+                "total_duration_ms": (time.perf_counter() - started) * 1000,
+                "lines_detected": observer.lines_detected,
+                "lines_processed": observer.lines_processed,
+                "dewarping_applied": observer.dewarping_applied,
+                "rotation_angle": page_angle,
+                "image_name": image_name,
+            }
+        )
+    return OpStatus.SUCCESS, (rot_mask, sorted_lines, ocr_lines, page_angle)

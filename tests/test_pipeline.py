@@ -162,6 +162,94 @@ def test_full_pipeline_eval_mode(engines):
         assert line.logits is not None
 
 
+def test_run_ocr_with_artifacts_contract(engines, tmp_path):
+    """The observed run keeps the reference's on-disk contract: audit JSONL
+    stage names/order, artifact tree names, metrics keys, results exports
+    (reference: BDRC/pipeline.py:30-195)."""
+    import json
+
+    from ocr_inference_tpu.core.data import ArtifactConfig
+    from ocr_inference_tpu.io.artifacts import ArtifactManager, AuditLogger
+    from ocr_inference_tpu.pipeline import run_ocr_with_artifacts
+
+    det, rec = engines
+    pipeline = OCRPipeline(rec, det)
+    img = _page(n_lines=3)
+    am = ArtifactManager(str(tmp_path), job_id="job1", config={"model": "t"})
+    audit = AuditLogger("job1", tmp_path / "job1" / "audit.log")
+    cfg = ArtifactConfig(save_detection=True, save_dewarping=True)
+
+    status, result = run_ocr_with_artifacts(
+        pipeline, img, "page1",
+        use_tps=True,
+        artifact_manager=am, audit_logger=audit, artifact_config=cfg,
+    )
+    assert status == OpStatus.SUCCESS, result
+    _, sorted_lines, ocr_lines, _ = result
+    assert len(ocr_lines) == 3
+
+    records = [
+        json.loads(line)
+        for line in (tmp_path / "job1" / "audit.log").read_text().splitlines()
+    ]
+    starts = [r["stage"] for r in records if r.get("operation") == "stage_start"]
+    assert starts == [
+        "ocr_pipeline", "line_detection", "build_line_data", "dewarping",
+        "extract_lines", "ocr_inference",
+    ]
+    ends = {
+        r["stage"]: r for r in records if r.get("operation") == "stage_end"
+    }
+    assert ends["ocr_pipeline"]["status"] == "success"
+    assert "mask_shape" in ends["line_detection"]["metadata"]
+    assert ends["build_line_data"]["metadata"]["filtered_count"] == 3
+    assert ends["extract_lines"]["metadata"]["lines_extracted"] == 3
+    assert ends["ocr_inference"]["metadata"]["lines_processed"] == 3
+    assert "dewarping_applied" in ends["dewarping"]["metadata"]
+    ops = [r for r in records if str(r.get("operation", "")).startswith("ocr_line_")]
+    assert len(ops) == 3
+
+    job = tmp_path / "job1"
+    assert (job / "detection" / "line_mask.png").is_file()
+    assert (job / "detection" / "rotated_mask.png").is_file()
+    assert (job / "detection" / "contours_raw.json").is_file()
+    assert (job / "detection" / "contours_filtered.json").is_file()
+    assert (job / "lines" / "lines.json").is_file()
+    assert (job / "dewarping" / "tps_analysis.json").is_file()
+    tps = json.loads((job / "dewarping" / "tps_analysis.json").read_text())
+    assert tps["threshold"] == 0.25
+    assert (job / "results" / "page1.txt").is_file()
+    assert (job / "results" / "page1.xml").is_file()
+
+    metrics = json.loads((job / "metrics.json").read_text())
+    assert set(metrics) >= {
+        "total_duration_ms", "lines_detected", "lines_processed",
+        "dewarping_applied", "rotation_angle", "image_name",
+    }
+    assert metrics["lines_detected"] == 3
+    assert metrics["lines_processed"] == 3
+
+
+def test_run_ocr_with_artifacts_failure_audited(engines, tmp_path):
+    from ocr_inference_tpu.io.artifacts import AuditLogger
+    from ocr_inference_tpu.pipeline import run_ocr_with_artifacts
+    import json
+
+    det, rec = engines
+    pipeline = OCRPipeline(rec, det)
+    blank = np.full((600, 1200, 3), 235, np.uint8)
+    audit = AuditLogger("job2", tmp_path / "audit.log")
+    status, err = run_ocr_with_artifacts(
+        pipeline, blank, "page2", audit_logger=audit
+    )
+    assert status == OpStatus.FAILED
+    records = [
+        json.loads(line)
+        for line in (tmp_path / "audit.log").read_text().splitlines()
+    ]
+    assert any(r.get("status") == "failure" for r in records)
+
+
 def test_pipeline_blank_page_fails_gracefully(engines):
     det, rec = engines
     pipeline = OCRPipeline(rec, det)

@@ -54,7 +54,7 @@ def make_volume(n_pages: int) -> list[np.ndarray]:
     return pages
 
 
-def build(det_chunk: int = 32, per_line: bool = False):
+def build(det_chunk: int = 32, per_line: bool = False, mesh=None):
     import jax.numpy as jnp
     from flax import linen as nn
     import jax
@@ -86,7 +86,7 @@ def build(det_chunk: int = 32, per_line: bool = False):
     det_model = BenchLineModel()
     det_vars = init_segmentation(det_model)
     det = SegmentationEngine(det_model, det_vars, mode="line",
-                             tile_chunk=det_chunk)
+                             tile_chunk=det_chunk, mesh=mesh)
 
     charset = list("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ'" )
     cfg = OCRModelConfig(
@@ -101,7 +101,8 @@ def build(det_chunk: int = 32, per_line: bool = False):
         max_lines_per_batch=1 if per_line else 64,
         width_buckets=(3000,) if per_line else (512, 1024, 2000, 3000),
     )
-    rec = RecognitionEngine(rec_model, rec_vars, cfg, batch_cfg=batch_cfg)
+    rec = RecognitionEngine(rec_model, rec_vars, cfg, batch_cfg=batch_cfg,
+                            mesh=mesh)
     return OCRPipeline(rec, det)
 
 
@@ -171,7 +172,19 @@ def main():
         baseline = measure_baseline()
         BASELINE_FILE.write_text(json.dumps(baseline, indent=2))
 
-    pipeline = build()
+    # data-parallel mesh over every available device (BASELINE config 5);
+    # on the single-chip bench host this is a trivial 1-device mesh, so the
+    # sharded path is exercised either way
+    import jax
+
+    mesh = None
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        from ocr_inference_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+
+    pipeline = build(mesh=mesh)
     pages = make_volume(N_PAGES)
     pps, lps = run_volume(pipeline, pages)
 
@@ -184,6 +197,8 @@ def main():
         "baseline_pages_per_sec": round(baseline["pages_per_sec"], 4),
         "pages": N_PAGES,
         "page_shape": [PAGE_H, PAGE_W],
+        "devices": n_dev,
+        "mesh": dict(mesh.shape) if mesh is not None else None,
     }
     print(json.dumps(result))
     return 0

@@ -92,6 +92,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--job-id", default=None, help="Reuse a fixed artifact job id"
     )
+    parser.add_argument(
+        "--mesh", default="off",
+        help="Data-parallel device mesh: 'off' (single device), 'auto' "
+             "(all devices), or an explicit device count. Batches of tiles "
+             "and lines are sharded over the mesh's data axis.",
+    )
     return parser
 
 
@@ -132,11 +138,29 @@ def main(argv=None):
     if args.kenlm:
         kenlm_config = get_kenlm_config(args.kenlm, args.kenlm)
 
+    mesh = None
+    if args.mesh != "off":
+        import jax
+
+        from ocr_inference_tpu.parallel import distributed_init, make_mesh
+
+        distributed_init()
+        n = None if args.mesh == "auto" else int(args.mesh)
+        devices = jax.devices()
+        if n is not None and len(devices) < n:
+            # e.g. a virtual CPU mesh requested on a single-accelerator host
+            devices = jax.local_devices(backend="cpu")
+            jax.config.update("jax_default_device", devices[0])
+        if (n or len(devices)) > 1:
+            mesh = make_mesh(n_devices=n, devices=devices)
+            print(f"Data-parallel mesh: {dict(mesh.shape)}")
+
     pipeline = build_pipeline(
         ocr_model.config,
         line_config,
         kenlm_config=kenlm_config,
         allow_random=args.allow_random_weights,
+        mesh=mesh,
     )
     target_encoding = (
         Encoding.UNICODE if args.encoding == "unicode" else Encoding.WYLIE
@@ -153,6 +177,14 @@ def main(argv=None):
         if not image_paths:
             print(f"No images found in {args.folder}")
             sys.exit(1)
+        if mesh is not None:
+            import jax
+
+            if jax.process_count() > 1:
+                # per-host input sharding on multi-host slices (SURVEY §5.8)
+                from ocr_inference_tpu.parallel import host_shard
+
+                image_paths = host_shard(image_paths)
     else:
         image_paths = [args.image]
 

@@ -55,6 +55,11 @@ def make_mesh(
             jax.local_devices(backend=backend) if backend else jax.devices()
         )
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested {n_devices} mesh devices, only {len(devices)} "
+                f"available ({[str(d) for d in devices]})"
+            )
         devices = devices[:n_devices]
     devices = list(devices)
     n = len(devices)

@@ -19,6 +19,7 @@ from pathlib import Path
 from typing import Optional
 
 import jax.numpy as jnp
+from jax.sharding import Mesh
 
 from ocr_inference_tpu.core.data import (
     BatchConfig,
@@ -76,6 +77,7 @@ def build_recognition_engine(
     batch_cfg: Optional[BatchConfig] = None,
     allow_random: bool = False,
     dtype=jnp.bfloat16,
+    mesh: Optional[Mesh] = None,
 ) -> RecognitionEngine:
     vocab_size = len(config.charset) + (1 if config.add_blank else 0)
     # Prefer native msgpack weights; else execute the .onnx graph directly
@@ -93,7 +95,8 @@ def build_recognition_engine(
             vocab_size=vocab_size,
         )
         return RecognitionEngine(
-            module, module.variables, config, kenlm_config, batch_cfg
+            module, module.variables, config, kenlm_config, batch_cfg,
+            mesh=mesh,
         )
     model = build_recognizer(config.architecture, vocab_size, dtype=dtype)
     variables = _resolve_variables(
@@ -103,13 +106,16 @@ def build_recognition_engine(
         allow_random,
         f"recognizer ({config.architecture})",
     )
-    return RecognitionEngine(model, variables, config, kenlm_config, batch_cfg)
+    return RecognitionEngine(
+        model, variables, config, kenlm_config, batch_cfg, mesh=mesh
+    )
 
 
 def build_detection_engine(
     config: LineDetectionConfig | LayoutDetectionConfig,
     allow_random: bool = False,
     dtype=jnp.bfloat16,
+    mesh: Optional[Mesh] = None,
 ) -> SegmentationEngine:
     is_layout = isinstance(config, LayoutDetectionConfig)
     n_classes = len(config.classes) if is_layout else 1
@@ -124,6 +130,7 @@ def build_detection_engine(
             mode=mode,
             patch_size=config.patch_size,
             classes=config.classes,
+            mesh=mesh,
         )
     if is_layout or config.architecture.lower().startswith("deeplab"):
         model = DeepLabV3Plus(classes=n_classes, dtype=dtype)
@@ -142,6 +149,7 @@ def build_detection_engine(
         mode=mode,
         patch_size=config.patch_size,
         classes=config.classes,
+        mesh=mesh,
     )
 
 
@@ -152,13 +160,18 @@ def build_pipeline(
     batch_cfg: Optional[BatchConfig] = None,
     allow_random: bool = False,
     use_line_prepadding: bool = False,
+    mesh: Optional[Mesh] = None,
 ) -> OCRPipeline:
     """Full pipeline from configs (reference: OCRPipeline ctor,
-    inference.py:440-463)."""
+    inference.py:440-463). With ``mesh``, both engines run data-parallel
+    over its data axis (the reference is strictly single-stream,
+    inference.py:630-635)."""
     rec = build_recognition_engine(
-        ocr_config, kenlm_config, batch_cfg, allow_random=allow_random
+        ocr_config, kenlm_config, batch_cfg, allow_random=allow_random,
+        mesh=mesh,
     )
-    det = build_detection_engine(line_config, allow_random=allow_random)
+    det = build_detection_engine(line_config, allow_random=allow_random,
+                                 mesh=mesh)
     return OCRPipeline(rec, det, line_config, use_line_prepadding)
 
 

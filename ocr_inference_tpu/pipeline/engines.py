@@ -12,7 +12,12 @@ TPU-first rework of the reference's ONNX session wrappers
 - recognition batches MANY lines per device call into a small set of static
   width buckets (the reference ran the recognizer one line at a time,
   inference.py:630-635 — the single biggest throughput sink), and CTC greedy
-  decode runs on device so only token ids come back.
+  decode runs on device so only token ids come back;
+- with a ``jax.sharding.Mesh``, both engines shard their batch dimension
+  (tile chunks / line-bucket batches) over the ``data`` axis: params are
+  replicated once, forwards are jitted with NamedSharding in/out specs, and
+  XLA inserts the collectives. The reference has no multi-device execution
+  at all (SURVEY §2.3); this is BASELINE config 5's data-parallel path.
 """
 
 from __future__ import annotations
@@ -24,6 +29,7 @@ import cv2
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ocr_inference_tpu.core.data import (
     BatchConfig,
@@ -35,6 +41,11 @@ from ocr_inference_tpu.core.data import (
 from ocr_inference_tpu.decode.ctc import greedy_decode
 from ocr_inference_tpu.decode.decoder import CTCDecoder
 from ocr_inference_tpu.ops import imaging, packing, tiling
+from ocr_inference_tpu.parallel.mesh import (
+    DATA_AXIS,
+    replicate_params,
+    replicated,
+)
 
 
 class _ShapeLRU:
@@ -76,6 +87,7 @@ class SegmentationEngine:
         patch_size: int = 512,
         tile_chunk: int = 32,
         classes: Optional[list[str]] = None,
+        mesh: Optional[Mesh] = None,
     ):
         self.model = model
         self.variables = variables
@@ -83,14 +95,28 @@ class SegmentationEngine:
         self.patch_size = patch_size
         self.tile_chunk = tile_chunk
         self.classes = classes or ["line"]
+        self.mesh = mesh
         self._pre_cache = _ShapeLRU()
         self._post_cache = _ShapeLRU()
 
-        @jax.jit
-        def _forward(variables, tiles):
-            return self.model.apply(variables, tiles, train=False)
+        if mesh is not None:
+            # DP: tile batch split over the data axis (a sharding constraint
+            # inside the program — GSPMD inserts the scatter/gather), params
+            # replicated; logits return replicated for the whole-page stitch.
+            self.variables = replicate_params(mesh, variables)
+            batch_shd = NamedSharding(mesh, P(DATA_AXIS))
 
-        self._forward = _forward
+            def _forward(variables, tiles):
+                tiles = jax.lax.with_sharding_constraint(tiles, batch_shd)
+                return self.model.apply(variables, tiles, train=False)
+
+            self._forward = jax.jit(_forward, out_shardings=replicated(mesh))
+        else:
+
+            def _forward(variables, tiles):
+                return self.model.apply(variables, tiles, train=False)
+
+            self._forward = jax.jit(_forward)
 
     # -- jitted stages --
 
@@ -98,7 +124,6 @@ class SegmentationEngine:
         key = (plan.orig_h, plan.orig_w, plan.padded_h, plan.padded_w)
 
         def build():
-            @jax.jit
             def fn(img):
                 padded = tiling.preprocess_page(img, plan)
                 tiles = tiling.tile_page(padded, self.patch_size)
@@ -108,7 +133,11 @@ class SegmentationEngine:
                 bw = jax.vmap(imaging.binarize)(tiles)
                 return bw.astype(jnp.float32) / 255.0
 
-            return fn
+            if self.mesh is not None:
+                # keep the tile stack on the mesh so the sharded forward can
+                # reshard it without a host round trip
+                return jax.jit(fn, out_shardings=replicated(self.mesh))
+            return jax.jit(fn)
 
         return self._pre_cache.get(key, build)
 
@@ -117,7 +146,6 @@ class SegmentationEngine:
                threshold, n_classes, self.mode)
 
         def build():
-            @jax.jit
             def fn(logits_tiles):
                 if self.mode == "line":
                     # (N, p, p, 1) -> (N, p, p)
@@ -139,7 +167,9 @@ class SegmentationEngine:
                 # (H, W, C) -> (C, H, W) so packing runs along W
                 return packing.pack_mask(jnp.transpose(out, (2, 0, 1)) >= 1.0)
 
-            return fn
+            if self.mesh is not None:
+                return jax.jit(fn, out_shardings=replicated(self.mesh))
+            return jax.jit(fn)
 
         return self._post_cache.get(key, build)
 
@@ -169,7 +199,9 @@ class SegmentationEngine:
             class_threshold = 0.9 if self.mode == "line" else 0.8
         h, w = image.shape[:2]
         plan = tiling.plan_page(h, w, self.patch_size)
-        tiles = self._pre_fn(plan)(jnp.asarray(image))
+        # numpy input stays uncommitted, so the same call works whether the
+        # pre program runs on one device or a mesh
+        tiles = self._pre_fn(plan)(np.asarray(image))
         logits = self._run_tiles(tiles)
         n_classes = logits.shape[-1]
         packed = np.asarray(
@@ -250,11 +282,16 @@ class RecognitionEngine:
         config: OCRModelConfig,
         kenlm_config: Optional[KenLMConfig] = None,
         batch_cfg: Optional[BatchConfig] = None,
+        mesh: Optional[Mesh] = None,
     ):
         self.model = model
         self.variables = variables
         self.config = config
         self.batch_cfg = batch_cfg or BatchConfig()
+        self.mesh = mesh
+        self._dp = mesh.shape[DATA_AXIS] if mesh is not None else 1
+        if mesh is not None:
+            self.variables = replicate_params(mesh, variables)
         self.ctc_decoder = CTCDecoder(
             config.charset, config.add_blank, kenlm_config=None
         )
@@ -289,7 +326,6 @@ class RecognitionEngine:
         key = (batch, width, want_logits)
 
         def build():
-            @jax.jit
             def fn(variables, gray_u8):
                 # (B, H, W) uint8 gray canvas -> binarize -> [-1, 1]
                 # (reference line prep: pad -> binarize -> gray -> scale,
@@ -302,7 +338,21 @@ class RecognitionEngine:
                     return logits
                 return greedy_decode(logits)
 
-            return fn
+            if self.mesh is not None:
+                # DP: line batch split over the data axis via an internal
+                # sharding constraint; every output (logits or packed
+                # ids/lengths/conf) is batch-leading, so one data-axis spec
+                # covers them all
+                batch_shd = NamedSharding(self.mesh, P(DATA_AXIS))
+
+                def fn_mesh(variables, gray_u8):
+                    gray_u8 = jax.lax.with_sharding_constraint(
+                        gray_u8, batch_shd
+                    )
+                    return fn(variables, gray_u8)
+
+                return jax.jit(fn_mesh, out_shardings=batch_shd)
+            return jax.jit(fn)
 
         return self._fwd_cache.get(key, build)
 
@@ -322,6 +372,8 @@ class RecognitionEngine:
                 while b < len(chunk):
                     b *= 2
                 b = min(b, bmax)
+                # a mesh batch must split evenly over the data axis
+                b = -(-b // self._dp) * self._dp
                 arr = np.zeros(
                     (b, self.config.input_height, width), np.uint8
                 )
@@ -343,7 +395,7 @@ class RecognitionEngine:
         texts: dict[int, str] = {}
         for width, b, idxs, arr in self._batch_iter(prepared):
             fn = self._forward_fn(b, width, want_logits=False)
-            ids, lengths, conf = fn(self.variables, jnp.asarray(arr))
+            ids, lengths, conf = fn(self.variables, arr)
             ids = np.asarray(ids)
             lengths = np.asarray(lengths)
             from ocr_inference_tpu.decode.ctc import ids_to_tokens
@@ -381,7 +433,7 @@ class RecognitionEngine:
         beams_by_idx: dict[int, list] = {}
         for width, b, idxs, arr in self._batch_iter(prepared):
             fn = self._forward_fn(b, width, want_logits=True)
-            logits = np.asarray(fn(self.variables, jnp.asarray(arr)))
+            logits = np.asarray(fn(self.variables, arr))
             for row, idx in enumerate(idxs):
                 beams_by_idx[idx] = decoder.ctc_beam_decode(
                     logits[row], use_lm=use_lm, top_k=top_k

@@ -89,6 +89,16 @@ class Easter2(nn.Module):
     variant: "base" (Easter2/Easter2b) | "attention" | "vit" — the attention
     variants insert MHSA blocks after the conv trunk
     (reference architecture names: Config.py:71-77).
+
+    SCOPE NOTE: this native module is a TPU-shaped (MXU-friendly widths,
+    bf16) re-design for TRAINING FROM SCRATCH (training/train.py) — its
+    layer dimensions are not, and are not meant to be, weight-compatible
+    with the published BDRC Easter2 ``.onnx`` checkpoints. Published
+    checkpoints run through the framework's own ONNX executor instead
+    (ocr_inference_tpu.onnx; pipeline/builder.py prefers that path whenever
+    a ``.onnx`` file is configured and no native msgpack weights exist),
+    which is validated against exporter-style graphs and torch numerics in
+    tests/test_onnx_golden.py.
     """
 
     vocab_size: int

@@ -49,8 +49,12 @@ class OnnxGraphFunction:
         self.weights = {
             k: v for k, v in all_weights.items() if k not in self.const_weights
         }
+        # pre-IR4 exporters list every initializer as a graph input too;
+        # anything with an initializer is a weight/constant, never a feed
         declared_inputs = [
-            vi.name for vi in self.graph.inputs if vi.name not in self.weights
+            vi.name
+            for vi in self.graph.inputs
+            if vi.name not in self.graph.initializers
         ]
         self.input_names = list(input_names or declared_inputs)
         self.output_names = list(
@@ -148,9 +152,20 @@ class OnnxModule:
             if not self.squeeze_channel:
                 x = x[:, None, ...]
             (logits,) = self.fn(variables, x)
-            # normalize output to (B, T, V)
-            logits = jnp.squeeze(logits)
-            if logits.ndim == 2:  # single example squeezed
+            # normalize output to (B, T, V): drop only singleton NON-batch
+            # axes (some exporters keep a channel axis), never the batch dim
+            # or the final (time, vocab) pair — a blanket squeeze would
+            # mangle B=1 batches or V=1/T=1 outputs
+            while logits.ndim > 3:
+                extra = [
+                    i for i in range(1, logits.ndim) if logits.shape[i] == 1
+                ]
+                if not extra:
+                    raise ValueError(
+                        f"cannot normalize recognizer output {logits.shape}"
+                    )
+                logits = jnp.squeeze(logits, axis=extra[0])
+            if logits.ndim == 2:  # graph emitted a single unbatched example
                 logits = logits[None]
             if self.vocab_size is not None and logits.shape[-1] != self.vocab_size:
                 if logits.shape[1] == self.vocab_size:

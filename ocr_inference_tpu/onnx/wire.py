@@ -9,7 +9,13 @@ which the test suite uses to fabricate ONNX files and which gives the
 framework ONNX export capability.
 
 Only the message fields ONNX inference models actually use are mapped; all
-unknown fields are preserved (parse) or omitted (write).
+unknown fields are skipped (parse) or omitted (write). Field numbers follow
+onnx/onnx.proto (ModelProto.graph = 7, opset_import = 8, NodeProto.attribute
+= 5, TensorProto.external_data = 13 / data_location = 14, ...); parsing of
+exporter-style graphs — packed encodings, external-data sidecars, dim_param
+axes, initializers repeated as inputs — is pinned by
+tests/test_onnx_golden.py against an independent serializer and torch
+numerics.
 """
 
 from __future__ import annotations
@@ -130,6 +136,27 @@ class TensorProto:
     int32_data: list[int] = field(default_factory=list)
     int64_data: list[int] = field(default_factory=list)
     double_data: list[float] = field(default_factory=list)
+    # exporter large-model support: data stored in a sidecar file
+    # (TensorProto.data_location == EXTERNAL with external_data entries)
+    data_location: int = 0
+    external_data: dict[str, str] = field(default_factory=dict)
+
+    def resolve_external(self, base_dir) -> None:
+        """Load sidecar tensor bytes into raw_data (exporters write large
+        initializers to a separate file next to the .onnx; keys per the ONNX
+        spec: location, offset, length)."""
+        if self.data_location != 1 or self.raw_data:
+            return
+        from pathlib import Path
+
+        loc = self.external_data.get("location")
+        if not loc:
+            raise ValueError(f"external tensor {self.name!r} has no location")
+        payload = (Path(base_dir) / loc).read_bytes()
+        offset = int(self.external_data.get("offset", 0))
+        length = self.external_data.get("length")
+        end = offset + int(length) if length is not None else len(payload)
+        self.raw_data = payload[offset:end]
 
     def to_numpy(self):
         import numpy as np
@@ -137,6 +164,11 @@ class TensorProto:
         dtype = TENSOR_DTYPES.get(self.data_type)
         if dtype is None:
             raise ValueError(f"unsupported tensor dtype {self.data_type}")
+        if self.data_location == 1 and not self.raw_data:
+            raise ValueError(
+                f"external tensor {self.name!r} not resolved; load the model "
+                "through load_model(path) so the sidecar file can be found"
+            )
         if self.raw_data:
             arr = np.frombuffer(self.raw_data, dtype=np.dtype(dtype))
         elif self.float_data:
@@ -193,6 +225,17 @@ def parse_tensor(buf: bytes) -> TensorProto:
             t.name = val.decode("utf-8")
         elif fno == 9:
             t.raw_data = val
+        elif fno == 13:  # external_data: StringStringEntryProto
+            key = value = ""
+            for f2, _, v2 in iter_fields(val):
+                if f2 == 1:
+                    key = v2.decode("utf-8")
+                elif f2 == 2:
+                    value = v2.decode("utf-8")
+            if key:
+                t.external_data[key] = value
+        elif fno == 14:
+            t.data_location = val
         elif fno == 10:
             if wtype == I64:
                 t.double_data.append(struct.unpack("<d", val)[0])
@@ -281,6 +324,7 @@ def parse_attribute(buf: bytes) -> Attribute:
 class Node:
     op_type: str = ""
     name: str = ""
+    domain: str = ""
     inputs: list[str] = field(default_factory=list)
     outputs: list[str] = field(default_factory=list)
     attributes: dict[str, Attribute] = field(default_factory=dict)
@@ -301,9 +345,11 @@ def parse_node(buf: bytes) -> Node:
             n.name = val.decode("utf-8")
         elif fno == 4:
             n.op_type = val.decode("utf-8")
-        elif fno == 7:
+        elif fno == 5:  # AttributeProto (onnx.proto: NodeProto.attribute = 5)
             a = parse_attribute(val)
             n.attributes[a.name] = a
+        elif fno == 7:
+            n.domain = val.decode("utf-8")
     return n
 
 
@@ -379,18 +425,43 @@ def parse_model(buf: bytes) -> Model:
             m.ir_version = val
         elif fno == 2:
             m.producer = val.decode("utf-8")
-        elif fno == 8:
+        elif fno == 7:  # GraphProto (onnx.proto: ModelProto.graph = 7)
             m.graph = parse_graph(val)
-        elif fno == 14:  # OperatorSetIdProto
+        elif fno == 8:  # OperatorSetIdProto (ModelProto.opset_import = 8)
+            domain = ""
+            version = 0
             for f2, _, v2 in iter_fields(val):
-                if f2 == 2:
-                    m.opset = max(m.opset, to_signed(v2))
+                if f2 == 1:
+                    domain = v2.decode("utf-8")
+                elif f2 == 2:
+                    version = to_signed(v2)
+            # only the default ai.onnx domain decides op semantics;
+            # exporter extras (ai.onnx.ml, com.microsoft) must not skew it
+            if domain in ("", "ai.onnx"):
+                m.opset = max(m.opset, version)
     return m
 
 
+def _resolve_graph_external(graph: Graph, base_dir) -> None:
+    for t in graph.initializers.values():
+        t.resolve_external(base_dir)
+    for node in graph.nodes:
+        for a in node.attributes.values():
+            if a.t is not None:
+                a.t.resolve_external(base_dir)
+            if a.g is not None:
+                _resolve_graph_external(a.g, base_dir)
+
+
 def load_model(path) -> Model:
+    from pathlib import Path
+
+    path = Path(path)
     with open(path, "rb") as f:
-        return parse_model(f.read())
+        model = parse_model(f.read())
+    # external-data tensors live relative to the model file
+    _resolve_graph_external(model.graph, path.parent)
+    return model
 
 
 # ---------------------------------------------------------------------------
@@ -448,7 +519,7 @@ def encode_node(op_type: str, inputs, outputs, name: str = "", **attrs) -> bytes
     out += field_string(3, name or op_type)
     out += field_string(4, op_type)
     for k, v in attrs.items():
-        out += field_bytes(7, encode_attribute(k, v))
+        out += field_bytes(5, encode_attribute(k, v))
     return out
 
 
@@ -488,6 +559,6 @@ def encode_model(
     return (
         field_varint(1, 8)  # ir_version
         + field_string(2, "ocr_inference_tpu")
-        + field_bytes(8, g)
-        + field_bytes(14, opset_proto)
+        + field_bytes(7, g)  # ModelProto.graph = 7
+        + field_bytes(8, opset_proto)  # ModelProto.opset_import = 8
     )

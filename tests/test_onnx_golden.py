@@ -1,0 +1,226 @@
+"""Golden validation of the ONNX executor against exporter-style graphs.
+
+Round 1 only ever fed the executor graphs produced by its own writer — a
+closed loop (VERDICT round 1, Missing #3). These tests build graphs with an
+INDEPENDENT exporter-style serializer (tests/onnx_exporter_sim.py: packed
+dims, float_data/raw_data/external-data storage, initializers repeated as
+graph inputs, dim_param batch axes, doc_string noise, multi-domain opsets)
+and check the numerics against torch, a fully independent implementation of
+the same network (reference behavior: ONNXRuntime sessions,
+BDRC/inference.py:128, 294)."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+from tests import onnx_exporter_sim as sim
+from ocr_inference_tpu.onnx.runner import OnnxGraphFunction, load_onnx_module
+from ocr_inference_tpu.onnx.wire import load_model
+
+
+class TorchNet(nn.Module):
+    """conv->bn->relu->maxpool->conv->gap->linear, mirrored in ONNX below."""
+
+    def __init__(self):
+        super().__init__()
+        g = torch.Generator().manual_seed(7)
+
+        def r(*shape):
+            return torch.randn(*shape, generator=g)
+
+        self.conv1 = nn.Conv2d(3, 8, 3, padding=1)
+        self.conv1.weight.data = r(8, 3, 3, 3) * 0.3
+        self.conv1.bias.data = r(8) * 0.1
+        self.bn = nn.BatchNorm2d(8)
+        self.bn.weight.data = r(8).abs() + 0.5
+        self.bn.bias.data = r(8) * 0.2
+        self.bn.running_mean.data = r(8) * 0.3
+        self.bn.running_var.data = r(8).abs() + 0.7
+        self.conv2 = nn.Conv2d(8, 4, 3)
+        self.conv2.weight.data = r(4, 8, 3, 3) * 0.2
+        self.conv2.bias.data = r(4) * 0.1
+        self.fc = nn.Linear(4, 5)
+        self.fc.weight.data = r(5, 4) * 0.5
+        self.fc.bias.data = r(5) * 0.1
+
+    def forward(self, x):
+        x = torch.relu(self.bn(self.conv1(x)))
+        x = torch.max_pool2d(x, 2, 2)
+        x = self.conv2(x)
+        x = x.mean(dim=(2, 3))
+        return self.fc(x)
+
+
+def _np(t):
+    return t.detach().numpy().astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def exporter_model(tmp_path_factory):
+    """Write the TorchNet graph in exporter style (incl. one external-data
+    weight with a nonzero offset) and return (onnx_path, torch_net)."""
+    net = TorchNet().eval()
+    d = tmp_path_factory.mktemp("exported")
+
+    # conv1 weight goes to a sidecar file at offset 16 (exporter-style
+    # external data)
+    w1 = _np(net.conv1.weight)
+    sidecar = d / "weights.bin"
+    sidecar.write_bytes(b"\x00" * 16 + w1.tobytes() + b"\xff" * 8)
+
+    inits = [
+        sim.tensor("conv1.weight", w1, storage="external", external={
+            "location": "weights.bin", "offset": 16, "length": w1.nbytes,
+        }),
+        sim.tensor("conv1.bias", _np(net.conv1.bias)),
+        sim.tensor("bn.weight", _np(net.bn.weight), storage="floats"),
+        sim.tensor("bn.bias", _np(net.bn.bias), storage="floats"),
+        sim.tensor("bn.mean", _np(net.bn.running_mean)),
+        sim.tensor("bn.var", _np(net.bn.running_var)),
+        sim.tensor("conv2.weight", _np(net.conv2.weight)),
+        sim.tensor("conv2.bias", _np(net.conv2.bias)),
+        sim.tensor("fc.weight", _np(net.fc.weight), storage="floats"),
+        sim.tensor("fc.bias", _np(net.fc.bias)),
+    ]
+    init_shapes = {
+        "conv1.weight": w1.shape, "conv1.bias": (8,),
+        "bn.weight": (8,), "bn.bias": (8,), "bn.mean": (8,), "bn.var": (8,),
+        "conv2.weight": (4, 8, 3, 3), "conv2.bias": (4,),
+        "fc.weight": (5, 4), "fc.bias": (5,),
+    }
+    nodes = [
+        sim.node("Conv", ["input", "conv1.weight", "conv1.bias"], ["c1"],
+                 pads=[1, 1, 1, 1], kernel_shape=[3, 3]),
+        # group/dilations/strides omitted -> defaults
+        sim.node("BatchNormalization",
+                 ["c1", "bn.weight", "bn.bias", "bn.mean", "bn.var"],
+                 ["b1"], epsilon=1e-5),
+        sim.node("Relu", ["b1"], ["r1"]),
+        sim.node("MaxPool", ["r1"], ["m1"], kernel_shape=[2, 2],
+                 strides=[2, 2]),
+        sim.node("Conv", ["m1", "conv2.weight", "conv2.bias"], ["c2"],
+                 kernel_shape=[3, 3]),  # pads omitted -> 0
+        sim.node("GlobalAveragePool", ["c2"], ["g1"]),
+        sim.node("Flatten", ["g1"], ["f1"], axis=1),
+        sim.node("Gemm", ["f1", "fc.weight", "fc.bias"], ["output"],
+                 transB=1),  # alpha/beta omitted -> 1.0
+    ]
+    # pre-IR4 style: every initializer repeated as a graph input
+    inputs = [sim.value_info("input", ("batch", 3, 16, 16))] + [
+        sim.value_info(name, shape) for name, shape in init_shapes.items()
+    ]
+    outputs = [sim.value_info("output", ("batch", 5))]
+    path = d / "model.onnx"
+    path.write_bytes(sim.model(nodes, inits, inputs, outputs, opset=13))
+    return path, net
+
+
+def test_parse_exporter_style_model(exporter_model):
+    path, _ = exporter_model
+    m = load_model(path)
+    assert m.opset == 13  # ai.onnx.ml entry must not override
+    assert m.producer == "pytorch"
+    assert len(m.graph.nodes) == 8
+    assert m.graph.nodes[0].op_type == "Conv"
+    # external tensor resolved from the sidecar at its offset
+    w = m.graph.initializers["conv1.weight"].to_numpy()
+    assert w.shape == (8, 3, 3, 3)
+    # dim_param survived
+    assert m.graph.inputs[0].shape[0] == "batch"
+
+
+def test_executor_matches_torch(exporter_model):
+    path, net = exporter_model
+    fn = OnnxGraphFunction(load_model(path))
+    # initializers listed as graph inputs must NOT count as feeds
+    assert fn.input_names == ["input"]
+    x = np.random.default_rng(0).normal(size=(2, 3, 16, 16)).astype(np.float32)
+    (got,) = fn(fn.weights, x)
+    want = net(torch.from_numpy(x)).detach().numpy()
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+def test_executor_dynamic_batch(exporter_model):
+    """dim_param axes: the same graph runs at several batch sizes."""
+    path, net = exporter_model
+    fn = OnnxGraphFunction(load_model(path))
+    for b in (1, 3):
+        x = np.random.default_rng(b).normal(size=(b, 3, 16, 16)).astype(
+            np.float32
+        )
+        (got,) = fn(fn.weights, x)
+        want = net(torch.from_numpy(x)).detach().numpy()
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+def _write_line_recognizer(d, keep_channel_axis: bool):
+    """A tiny CTC-recognizer-shaped graph: (B, 1, H, W) -> (B, T, V) with an
+    optional kept singleton channel axis in the output."""
+    g = torch.Generator().manual_seed(3)
+    h, v = 8, 6
+    w_conv = (torch.randn(4, 1, h, 3, generator=g) * 0.3).numpy()
+    b_conv = (torch.randn(4, generator=g) * 0.1).numpy()
+    w_proj = (torch.randn(v, 4, 1, 1, generator=g) * 0.5).numpy()
+    b_proj = (torch.randn(v, generator=g) * 0.1).numpy()
+    nodes = [
+        # (B,1,H,W) -> (B,4,1,W) : full-height conv, width-preserving
+        sim.node("Conv", ["input", "w1", "b1"], ["c1"],
+                 kernel_shape=[h, 3], pads=[0, 1, 0, 1]),
+        sim.node("Relu", ["c1"], ["r1"]),
+        sim.node("Conv", ["r1", "w2", "b2"], ["c2"], kernel_shape=[1, 1]),
+        # (B,V,1,W) -> (B,W,1,V) so time leads; keep or drop the 1-axis
+        sim.node("Transpose", ["c2"], ["t1"], perm=[0, 3, 2, 1]),
+    ]
+    if keep_channel_axis:
+        out_name, out_shape = "t1", ("batch", "time", 1, v)
+    else:
+        nodes.append(sim.node("Squeeze", ["t1"], ["sq"], axes=[2]))
+        out_name, out_shape = "sq", ("batch", "time", v)
+    inits = [
+        sim.tensor("w1", w_conv.astype(np.float32)),
+        sim.tensor("b1", b_conv.astype(np.float32)),
+        sim.tensor("w2", w_proj.astype(np.float32)),
+        sim.tensor("b2", b_proj.astype(np.float32)),
+    ]
+    inputs = [sim.value_info("input", ("batch", 1, h, "width"))]
+    outputs = [sim.value_info(out_name, out_shape)]
+    path = d / f"rec_{keep_channel_axis}.onnx"
+    path.write_bytes(sim.model(nodes, inits, inputs, outputs))
+
+    def torch_forward(x):
+        x = torch.from_numpy(x)
+        c1 = torch.relu(
+            torch.nn.functional.conv2d(
+                x, torch.from_numpy(w_conv), torch.from_numpy(b_conv),
+                padding=(0, 1),
+            )
+        )
+        c2 = torch.nn.functional.conv2d(
+            c1, torch.from_numpy(w_proj), torch.from_numpy(b_proj)
+        )
+        out = c2.permute(0, 3, 2, 1)
+        return out.squeeze(2).numpy()
+
+    return path, out_name, torch_forward
+
+
+@pytest.mark.parametrize("keep_channel_axis", [False, True])
+def test_onnx_module_line_layout_squeeze(tmp_path, keep_channel_axis):
+    """OnnxModule must normalize recognizer outputs to (B, T, V) without
+    mangling singleton batch or vocab axes (VERDICT round 1, Weak #5)."""
+    path, out_name, torch_forward = _write_line_recognizer(
+        tmp_path, keep_channel_axis
+    )
+    module = load_onnx_module(
+        path, layout="line", input_layer="input", output_layer=out_name,
+        squeeze_channel=False, vocab_size=6,
+    )
+    for b in (1, 2):
+        x = np.random.default_rng(b).normal(size=(b, 8, 32)).astype(
+            np.float32
+        )
+        got = np.asarray(module.apply(module.variables, x))
+        want = torch_forward(x[:, None, :, :])
+        assert got.shape == (b, 32, 6)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)

@@ -107,17 +107,24 @@ def build(det_chunk: int = 32, per_line: bool = False, mesh=None):
 
 
 def run_volume(pipeline, pages, per_line: bool = False):
-    """Returns (pages/sec, lines/sec) over the volume (excluding warmup).
+    """Returns (pages/sec, lines/sec, stage_ms) over the volume (excluding
+    warmup). stage_ms attributes the per-page wall time to
+    detect / geometry / recognize (recognition overlaps the next window's
+    detection, so the stage sums may exceed the wall clock).
 
     The TPU path goes through VolumeRunner (cross-page line batching,
-    prefetch overlap); the reference-style baseline keeps the sequential
-    page-at-a-time loop the reference CLI uses.
+    bounded prefetch, detect/recognize overlap); the reference-style
+    baseline keeps the sequential page-at-a-time loop the reference CLI
+    uses. Set OCR_BENCH_PROFILE=<dir> to capture a jax.profiler trace of
+    the timed region.
     """
     from ocr_inference_tpu.core.data import OpStatus
 
     # warmup: one page populates every jit cache
     status, res = pipeline.run_ocr(pages[0])
     assert status == OpStatus.SUCCESS, res
+
+    profile_dir = os.environ.get("OCR_BENCH_PROFILE")
 
     if per_line:
         start = time.perf_counter()
@@ -127,21 +134,39 @@ def run_volume(pipeline, pages, per_line: bool = False):
             assert status == OpStatus.SUCCESS, res
             n_lines += len(res[2])
         elapsed = time.perf_counter() - start
-        return len(pages) / elapsed, n_lines / elapsed
+        return len(pages) / elapsed, n_lines / elapsed, {}
 
     from ocr_inference_tpu.pipeline import VolumeRunner
 
     runner = VolumeRunner(pipeline, window_pages=8)
-    # warm the runner path once
-    runner.run([("w", pages[0])])
-    start = time.perf_counter()
-    results = runner.run([(f"p{i}", p) for i, p in enumerate(pages)])
-    elapsed = time.perf_counter() - start
+    # warm the runner path over the FULL volume once: the timed region must
+    # measure steady state, not the first-process compiles of every
+    # (bucket, batch) shape the windows produce
+    runner.run([(f"w{i}", p) for i, p in enumerate(pages)])
+
+    import contextlib
+
+    import jax
+
+    trace = (
+        jax.profiler.trace(profile_dir)
+        if profile_dir
+        else contextlib.nullcontext()
+    )
+    with trace:
+        start = time.perf_counter()
+        results = runner.run([(f"p{i}", p) for i, p in enumerate(pages)])
+        elapsed = time.perf_counter() - start
     assert all(r.status == OpStatus.SUCCESS for r in results), [
         r.error for r in results if r.error
     ]
     n_lines = sum(len(r.ocr_lines) for r in results)
-    return len(pages) / elapsed, n_lines / elapsed
+    stage_ms: dict[str, float] = {}
+    for r in results:
+        for k, v in r.timings_ms.items():
+            stage_ms[k] = stage_ms.get(k, 0.0) + v
+    stage_ms = {k: round(v / len(results), 1) for k, v in stage_ms.items()}
+    return len(pages) / elapsed, n_lines / elapsed, stage_ms
 
 
 def measure_baseline() -> dict:
@@ -152,7 +177,7 @@ def measure_baseline() -> dict:
     with jax.default_device(cpu):
         pipeline = build(det_chunk=8, per_line=True)
         pages = make_volume(3)
-        pps, lps = run_volume(pipeline, pages, per_line=True)
+        pps, lps, _ = run_volume(pipeline, pages, per_line=True)
     return {
         "pages_per_sec": pps,
         "lines_per_sec": lps,
@@ -186,7 +211,7 @@ def main():
 
     pipeline = build(mesh=mesh)
     pages = make_volume(N_PAGES)
-    pps, lps = run_volume(pipeline, pages)
+    pps, lps, stage_ms = run_volume(pipeline, pages)
 
     result = {
         "metric": "pages_per_sec_end_to_end",
@@ -199,6 +224,7 @@ def main():
         "page_shape": [PAGE_H, PAGE_W],
         "devices": n_dev,
         "mesh": dict(mesh.shape) if mesh is not None else None,
+        "stage_ms_per_page": stage_ms,
     }
     print(json.dumps(result))
     return 0

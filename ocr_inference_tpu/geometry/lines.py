@@ -171,31 +171,79 @@ def filter_line_contours(
 # Line-strip extraction (ROI-local, adaptive k)
 # ---------------------------------------------------------------------------
 
+class _LineRoi:
+    """Retry-invariant ROI state for one line's strip extraction.
+
+    The reference's adaptive-k loop re-runs dilate + mask + crop on
+    FULL-PAGE buffers per attempt (reference: line_detection.py:267-320).
+    Here everything k-independent — the padded ROI around the contour (the
+    dilation support of one contour is local, so results are identical), the
+    rasterized contour mask, and the any-channel-nonzero map — is computed
+    once; each k attempt costs one small dilate + two SIMD cv2 reduces, and
+    only the accepted attempt materializes the masked crop."""
+
+    def __init__(self, image: np.ndarray, contour: np.ndarray, bbox_h: int,
+                 k_factor: float):
+        k0 = int(bbox_h * k_factor)
+        kw0 = max(k0, 1)
+        kh0 = max(int(k0 * k_factor), 1)
+        x, y, w, h = cv2.boundingRect(contour)
+        pad_x = kw0 // 2 + 1
+        pad_y = kh0 // 2 + 1
+        x0 = max(0, x - pad_x)
+        y0 = max(0, y - pad_y)
+        x1 = min(image.shape[1], x + w + pad_x)
+        y1 = min(image.shape[0], y + h + pad_y)
+        roi = image[y0:y1, x0:x1]
+        if roi.ndim == 2:
+            roi = roi[..., None]
+        self.roi = roi
+        self.mask = np.zeros(roi.shape[:2], dtype=np.uint8)
+        shifted = contour - np.array([[[x0, y0]]], dtype=contour.dtype)
+        cv2.drawContours(self.mask, [shifted], -1, 255, -1)
+        # nonzero-in-any-channel map (mask_n_crop crops to the nonzero
+        # extent of image*mask, so black image pixels shrink the bbox)
+        nz = roi[..., 0]
+        for c in range(1, roi.shape[2]):
+            nz = np.bitwise_or(nz, roi[..., c])
+        self.nonzero = np.ascontiguousarray(nz)
+
+    def attempt(self, bbox_h: int, k: float):
+        """One dilation attempt; returns (strip_height, crop_fn)."""
+        k_size = int(bbox_h * k)
+        kw = max(k_size, 1)
+        kh = max(int(k_size * k), 1)
+        kernel = cv2.getStructuringElement(cv2.MORPH_RECT, (kw, kh))
+        dilated = cv2.dilate(self.mask, kernel, iterations=1)
+        nz = cv2.bitwise_and(self.nonzero, dilated)
+        rows = np.flatnonzero(cv2.reduce(nz, 1, cv2.REDUCE_MAX))
+        cols = np.flatnonzero(cv2.reduce(nz, 0, cv2.REDUCE_MAX))
+        if rows.size == 0 or cols.size == 0:
+            c = self.roi.shape[2]
+
+            def empty():
+                return np.zeros((0, 0, c), dtype=np.uint8)
+
+            return 0, empty
+        r0, r1 = int(rows[0]), int(rows[-1]) + 1
+        c0, c1 = int(cols[0]), int(cols[-1]) + 1
+
+        def crop():
+            out = self.roi[r0:r1, c0:c1] * (dilated[r0:r1, c0:c1, None] != 0)
+            return np.ascontiguousarray(out)
+
+        return r1 - r0, crop
+
+
 def _extract_line_roi(
     image: np.ndarray, contour: np.ndarray, bbox_h: int, k_factor: float
 ) -> np.ndarray:
-    """Dilate the line mask and crop the masked image, computed on a padded
-    ROI around the contour bbox (reference computes on full-page buffers,
-    line_detection.py:267-288; a single contour's dilation support is local,
-    so the ROI result is identical)."""
-    k_size = int(bbox_h * k_factor)
-    kw = max(k_size, 1)
-    kh = max(int(k_size * k_factor), 1)
-
-    x, y, w, h = cv2.boundingRect(contour)
-    pad_x = kw // 2 + 1
-    pad_y = kh // 2 + 1
-    x0 = max(0, x - pad_x)
-    y0 = max(0, y - pad_y)
-    x1 = min(image.shape[1], x + w + pad_x)
-    y1 = min(image.shape[0], y + h + pad_y)
-
-    roi_mask = np.zeros((y1 - y0, x1 - x0), dtype=np.uint8)
-    shifted = contour - np.array([[[x0, y0]]], dtype=contour.dtype)
-    cv2.drawContours(roi_mask, [shifted], -1, 255, -1)
-    kernel = cv2.getStructuringElement(cv2.MORPH_RECT, (kw, kh))
-    dilated = cv2.dilate(roi_mask, kernel, iterations=1)
-    return mask_n_crop(image[y0:y1, x0:x1], dilated)
+    """Single-shot ROI-local strip extraction (reference semantics:
+    line_detection.py:267-288 extract_line)."""
+    _, crop = _LineRoi(image, contour, bbox_h, k_factor).attempt(
+        bbox_h, k_factor
+    )
+    return crop()
 
 
 def get_line_image_from_mask(
@@ -242,18 +290,20 @@ def get_line_image(
 ) -> tuple[np.ndarray, float]:
     """Adaptive strip extraction: shrink k by 0.1 (max 10 tries) until the
     strip height fits bbox_h * tolerance (reference:
-    line_detection.py:291-327, incl. the blank-image fallback)."""
+    line_detection.py:291-327, incl. the blank-image fallback). Retries only
+    recompute the dilation extent; the crop materializes once."""
     try:
+        roi = _LineRoi(image, contour, bbox_h, k_factor)
         tmp_k = k_factor
-        line_img = _extract_line_roi(image, contour, bbox_h, tmp_k)
+        height, crop = roi.attempt(bbox_h, tmp_k)
         attempts = 0
-        while line_img.shape[0] > bbox_h * bbox_tolerance and attempts < 10:
+        while height > bbox_h * bbox_tolerance and attempts < 10:
             tmp_k -= 0.1
             if tmp_k <= 0.1:
                 break
-            line_img = _extract_line_roi(image, contour, bbox_h, tmp_k)
+            height, crop = roi.attempt(bbox_h, tmp_k)
             attempts += 1
-        return line_img, tmp_k
+        return crop(), tmp_k
     except Exception as e:  # parity: never let one line kill a page
         print(f"Error in get_line_image: {e}")
         return np.zeros((bbox_h, bbox_h * 2, 3), dtype=np.uint8), k_factor

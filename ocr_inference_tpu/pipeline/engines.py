@@ -174,9 +174,20 @@ class SegmentationEngine:
         return self._post_cache.get(key, build)
 
     def _run_tiles(self, tiles: jax.Array) -> jax.Array:
-        """Forward all tiles in fixed-size chunks (one compiled shape)."""
+        """Forward all tiles in fixed-size chunks.
+
+        The chunk is the smaller of the configured tile_chunk and the next
+        power of two >= the tile count, so small pages don't pay for a full
+        chunk of padding (a 15-tile page runs as 16, not 32) while the set
+        of compiled shapes stays bounded."""
         n = tiles.shape[0]
-        chunk = self.tile_chunk
+        chunk = 1
+        while chunk < n:
+            chunk *= 2
+        chunk = min(chunk, self.tile_chunk)
+        if self.mesh is not None:
+            dp = self.mesh.shape[DATA_AXIS]
+            chunk = max(chunk, dp)
         outs = []
         for start in range(0, n, chunk):
             block = tiles[start : start + chunk]

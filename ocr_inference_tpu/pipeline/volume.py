@@ -5,11 +5,14 @@ The reference processes one page at a time and one line per recognizer call
 (BASELINE configs 4-5) this runner restructures the work TPU-first:
 
 - phase 1 (per page, pipelined): device detection + host geometry produce
-  line strips; disk/decode for page i+1 overlaps device work for page i via
-  a prefetch thread;
+  line strips; disk/decode for upcoming pages overlaps device work through a
+  BOUNDED prefetch queue (a 500-page volume never materializes more than a
+  window's worth of decoded pages in RAM);
 - phase 2 (cross-page): ALL strips of the window are recognized together —
   width buckets fill with lines from many pages, so the recognizer runs at
-  large batch sizes regardless of per-page line counts;
+  large batch sizes regardless of per-page line counts. Window recognition
+  runs on a background thread, overlapping with the NEXT window's detection
+  and host geometry (double buffering);
 - phase 3: results scatter back to their pages, convert encoding, export.
 
 Failure isolation is per page (a bad page never kills the volume), and the
@@ -19,6 +22,7 @@ returned records carry the same payload as OCRPipeline.run_ocr.
 from __future__ import annotations
 
 import time
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Any, Callable, Iterable, Optional
@@ -111,6 +115,67 @@ class VolumeRunner:
             rec.error = f"page failed: {e}"
             return rec, []
 
+    # -- phase 2+3: window recognition (runs on the flush thread) --
+
+    def _flush_window(
+        self,
+        window: list[tuple[PageRecord, list[np.ndarray]]],
+        target_encoding: Encoding,
+    ) -> list[PageRecord]:
+        p = self.pipeline
+        all_strips: list[np.ndarray] = []
+        spans: list[tuple[PageRecord, int, int]] = []
+        for rec, strips in window:
+            start = len(all_strips)
+            all_strips.extend(strips)
+            spans.append((rec, start, len(all_strips)))
+        rec_ms = 0.0
+        texts: list[str] = []
+        rec_error: Optional[str] = None
+        if all_strips:
+            t0 = time.perf_counter()
+            try:
+                texts = p.ocr_inference.run_batch(
+                    all_strips, pre_pad=p.use_line_prepadding
+                )
+            except Exception as e:  # window-level isolation
+                rec_error = f"recognition failed: {e}"
+            rec_ms = (time.perf_counter() - t0) * 1000
+
+        done: list[PageRecord] = []
+        for rec, start, end in spans:
+            rec.timings_ms["recognize"] = rec_ms * (
+                (end - start) / max(len(all_strips), 1)
+            )
+            if rec.status == OpStatus.FAILED:
+                done.append(rec)
+                continue
+            if rec_error is not None:
+                rec.status, rec.error = OpStatus.FAILED, rec_error
+                done.append(rec)
+                continue
+            ocr_lines = []
+            for text, info in zip(texts[start:end], rec.lines):
+                pred = text.strip().replace("§", " ")
+                pred = p._convert_text(pred, target_encoding)
+                ocr_lines.append(
+                    OCRLine(
+                        guid=info.guid,
+                        text=pred,
+                        encoding=(
+                            Encoding.WYLIE.name
+                            if target_encoding == Encoding.WYLIE
+                            else Encoding.UNICODE.name
+                        ),
+                        ctc_conf=None,
+                        logits=None,
+                        lm_scores=None,
+                    )
+                )
+            rec.ocr_lines = ocr_lines
+            done.append(rec)
+        return done
+
     # -- main entry --
 
     def run(
@@ -126,8 +191,8 @@ class VolumeRunner:
     ) -> list[PageRecord]:
         """Process the volume; ``images`` yields (name, array) or
         (name, loader_callable) pairs — callables let disk decode overlap
-        device work."""
-        p = self.pipeline
+        device work. Results come back in input order; ``on_page_done``
+        fires as each window completes."""
         results: list[PageRecord] = []
 
         def materialize(item):
@@ -136,81 +201,67 @@ class VolumeRunner:
                 img = img()
             return name, img
 
-        items = list(images)
-        with ThreadPoolExecutor(max_workers=self.prefetch_workers) as pool:
-            loaded = pool.map(materialize, items)
+        def emit(recs: list[PageRecord]):
+            results.extend(recs)
+            if on_page_done:
+                for r in recs:
+                    on_page_done(r)
 
-            window: list[tuple[PageRecord, list[np.ndarray]]] = []
+        # one background recognizer keeps window N's device recognition +
+        # decode overlapping window N+1's detection and host geometry,
+        # without ever holding more than two windows of strips alive
+        flush_pool = ThreadPoolExecutor(max_workers=1)
+        pending = None
 
-            def flush():
-                if not window:
-                    return
-                # phase 2: cross-page recognition over every strip at once
-                all_strips: list[np.ndarray] = []
-                spans: list[tuple[PageRecord, int, int]] = []
-                for rec, strips in window:
-                    start = len(all_strips)
-                    all_strips.extend(strips)
-                    spans.append((rec, start, len(all_strips)))
-                if all_strips:
-                    t0 = time.perf_counter()
-                    texts = p.ocr_inference.run_batch(
-                        all_strips, pre_pad=p.use_line_prepadding
-                    )
-                    rec_ms = (time.perf_counter() - t0) * 1000
-                else:
-                    texts, rec_ms = [], 0.0
-                # phase 3: scatter back + convert encoding
-                for rec, start, end in spans:
-                    rec.timings_ms["recognize"] = rec_ms * (
-                        (end - start) / max(len(all_strips), 1)
-                    )
-                    if rec.status == OpStatus.FAILED:
-                        results.append(rec)
-                        if on_page_done:
-                            on_page_done(rec)
-                        continue
-                    ocr_lines = []
-                    for text, info in zip(texts[start:end], rec.lines):
-                        pred = text.strip().replace("§", " ")
-                        pred = p._convert_text(pred, target_encoding)
-                        ocr_lines.append(
-                            OCRLine(
-                                guid=info.guid,
-                                text=pred,
-                                encoding=(
-                                    Encoding.WYLIE.name
-                                    if target_encoding == Encoding.WYLIE
-                                    else Encoding.UNICODE.name
-                                ),
-                                ctc_conf=None,
-                                logits=None,
-                                lm_scores=None,
-                            )
-                        )
-                    rec.ocr_lines = ocr_lines
-                    results.append(rec)
-                    if on_page_done:
-                        on_page_done(rec)
-                window.clear()
+        def start_flush(window):
+            nonlocal pending
+            if pending is not None:
+                emit(pending.result())
+            pending = flush_pool.submit(
+                self._flush_window, window, target_encoding
+            )
 
-            for name, img in loaded:
+        window: list[tuple[PageRecord, list[np.ndarray]]] = []
+        load_pool = ThreadPoolExecutor(max_workers=self.prefetch_workers)
+        queue: deque = deque()
+        depth = max(self.prefetch_workers + 1, 2)  # bounded decode lookahead
+        try:
+            items = iter(images)
+
+            def loaded():
+                for item in items:
+                    queue.append(load_pool.submit(materialize, item))
+                    if len(queue) >= depth:
+                        yield queue.popleft().result()
+                while queue:
+                    yield queue.popleft().result()
+
+            for name, img in loaded():
                 if img is None:
-                    rec = PageRecord(
-                        name=name, status=OpStatus.FAILED, error="load failed"
+                    window.append((
+                        PageRecord(
+                            name=name, status=OpStatus.FAILED,
+                            error="load failed",
+                        ),
+                        [],
+                    ))
+                else:
+                    window.append(
+                        self._page_to_strips(
+                            name, img,
+                            use_tps=use_tps, tps_threshold=tps_threshold,
+                            merge_lines=merge_lines, k_factor=k_factor,
+                            bbox_tolerance=bbox_tolerance,
+                        )
                     )
-                    results.append(rec)
-                    if on_page_done:
-                        on_page_done(rec)
-                    continue
-                rec, strips = self._page_to_strips(
-                    name, img,
-                    use_tps=use_tps, tps_threshold=tps_threshold,
-                    merge_lines=merge_lines, k_factor=k_factor,
-                    bbox_tolerance=bbox_tolerance,
-                )
-                window.append((rec, strips))
                 if len(window) >= self.window_pages:
-                    flush()
-            flush()
+                    start_flush(window)
+                    window = []
+            if window:
+                start_flush(window)
+            if pending is not None:
+                emit(pending.result())
+        finally:
+            flush_pool.shutdown(wait=False)
+            load_pool.shutdown(wait=False)
         return results

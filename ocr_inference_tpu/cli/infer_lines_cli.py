@@ -18,6 +18,8 @@ from concurrent.futures import ThreadPoolExecutor
 from glob import glob
 
 import cv2
+
+from ocr_inference_tpu.geometry import backend as geo
 import numpy as np
 
 from ocr_inference_tpu.core.assets import read_line_model_config
@@ -116,7 +118,7 @@ def main(argv=None):
                     [(int(x), int(y)) for [[x, y]] in cnt] for cnt in contours
                 ],
                 "bboxes": [
-                    tuple(int(v) for v in cv2.boundingRect(cnt))
+                    tuple(int(v) for v in geo.bounding_rect(cnt))
                     for cnt in contours
                 ],
             }

@@ -6,6 +6,8 @@ path running on device."""
 
 from __future__ import annotations
 
+import os
+from pathlib import Path
 from typing import Optional, Sequence
 
 import jax
@@ -14,6 +16,36 @@ import numpy as np
 from ocr_inference_tpu.core.data import KenLMConfig
 from ocr_inference_tpu.decode.arpa_lm import ArpaLM
 from ocr_inference_tpu.decode.ctc import Beam, beam_search, greedy_decode, ids_to_tokens
+
+
+def _load_lm(kenlm_config: KenLMConfig):
+    """Build the n-gram scorer for a KenLM config.
+
+    Preference order (reference loads KenLM through pyctcdecode,
+    inference.py:97-104): the first-party C++ scorer (native/arpa_lm.cpp),
+    then the Python ArpaLM twin. Env ``OCR_NATIVE_ARPA=0`` forces Python.
+    A ``.binary`` KenLM artifact is read through decode.kenlm_binary.
+    """
+    path = Path(kenlm_config.arpa_file)
+    if str(path).endswith(".binary") or (
+        not path.is_file() and str(kenlm_config.kenlm_file).endswith(".binary")
+    ):
+        from ocr_inference_tpu.decode.kenlm_binary import KenLMBinary
+
+        binary = path if str(path).endswith(".binary") else Path(
+            kenlm_config.kenlm_file
+        )
+        return KenLMBinary(binary)
+    if os.environ.get("OCR_NATIVE_ARPA", "auto").lower() not in (
+        "0", "false", "off"
+    ):
+        try:
+            from ocr_inference_tpu.native import NativeArpaLM
+
+            return NativeArpaLM(path)
+        except Exception:
+            pass  # toolchain-free hosts fall through to the Python twin
+    return ArpaLM(path)
 
 
 class CTCDecoder:
@@ -35,11 +67,11 @@ class CTCDecoder:
         if add_blank:
             self.ctc_vocab.insert(0, self.blank_sign)
 
-        self._lm: Optional[ArpaLM] = None
+        self._lm = None
         self._lm_score_fn = None
         if kenlm_config is not None:
             try:
-                self._lm = ArpaLM(kenlm_config.arpa_file)
+                self._lm = _load_lm(kenlm_config)
                 self._lm_score_fn = self._lm.make_score_fn(
                     self.charset, self.add_blank
                 )

@@ -15,6 +15,8 @@ corners scaled once to the image extent).
 from __future__ import annotations
 
 import cv2
+
+from ocr_inference_tpu.geometry import backend as geo
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -140,16 +142,14 @@ def run_tps(
 def get_global_center(slice_image: np.ndarray, start_x: int, bbox_y: int):
     """Largest-contour center of a vertical slice, in page coords
     (reference: image_dewarping.py:77-115)."""
-    contours, _ = cv2.findContours(
-        slice_image, cv2.RETR_LIST, cv2.CHAIN_APPROX_SIMPLE
-    )
+    contours = geo.find_contours(slice_image)
     if not contours:
         cy, cx = slice_image.shape[0] // 2, slice_image.shape[1] // 2
         return start_x + cx, bbox_y + cy, slice_image.shape[0]
-    areas = [cv2.contourArea(c) for c in contours]
+    areas = [geo.contour_area(c) for c in contours]
     biggest = contours[int(np.argmax(areas))]
-    _, _, _, bbox_h = cv2.boundingRect(biggest)
-    (cx, cy), _, _ = cv2.minAreaRect(biggest)
+    _, _, _, bbox_h = geo.bounding_rect(biggest)
+    (cx, cy), _, _ = geo.min_area_rect(biggest)
     return start_x + int(cx), bbox_y + int(cy), bbox_h
 
 
@@ -157,7 +157,7 @@ def check_line_tps(image: np.ndarray, contour: np.ndarray, slice_width: int = 40
     """Probe 5 vertical slices across a line; curved if the center-y spread
     exceeds the mean slice height (reference: image_dewarping.py:118-193).
     Control points straighten centers to the mean y."""
-    x, y, w, h = cv2.boundingRect(contour)
+    x, y, w, h = geo.bounding_rect(contour)
     mask = np.zeros(image.shape[:2], dtype=np.uint8)
     cv2.drawContours(mask, [contour], 0, 255, -1)
 
@@ -254,7 +254,7 @@ def get_line_images_via_local_tps(
     current_k = k_factor
     line_images = []
     for line in line_data:
-        _, _, _, bbox_h = cv2.boundingRect(line["contour"])
+        _, _, _, bbox_h = geo.bounding_rect(line["contour"])
         if line["tps"]:
             if line["input_pts"] is None or line["output_pts"] is None:
                 raise ValueError(

@@ -24,6 +24,7 @@ import cv2
 import numpy as np
 
 from ocr_inference_tpu.core.data import BBox, Line, generate_guid
+from ocr_inference_tpu.geometry import backend as geo
 
 
 # ---------------------------------------------------------------------------
@@ -31,18 +32,17 @@ from ocr_inference_tpu.core.data import BBox, Line, generate_guid
 # ---------------------------------------------------------------------------
 
 def get_contours(image: np.ndarray) -> Sequence[np.ndarray]:
-    """All contours, no hierarchy (reference: line_detection.py:33-44)."""
-    contours, _ = cv2.findContours(
-        image.astype(np.uint8), cv2.RETR_LIST, cv2.CHAIN_APPROX_SIMPLE
-    )
-    return contours
+    """All contours, no hierarchy (reference: line_detection.py:33-44).
+    Served by the native C++ topology backend when available
+    (geometry/backend.py)."""
+    return geo.find_contours(image.astype(np.uint8))
 
 
 def optimize_contour(cnt: np.ndarray, e: float = 0.001) -> np.ndarray:
     """Polygon simplification, epsilon 0.001*arclen
     (reference: line_detection.py:47-59)."""
-    epsilon = e * cv2.arcLength(cnt, True)
-    return cv2.approxPolyDP(cnt, epsilon, True)
+    epsilon = e * geo.arc_length(cnt, True)
+    return geo.approx_poly_dp(cnt, epsilon, True)
 
 
 def rotate_from_angle(image: np.ndarray, angle: float) -> np.ndarray:
@@ -81,10 +81,10 @@ def calculate_rotation_angle_from_lines(
     (reference: line_detection.py:145-185)."""
     contours = get_contours(line_mask)
     mask_threshold = line_mask.shape[0] * line_mask.shape[1] * 0.001
-    contours = [x for x in contours if cv2.contourArea(x) > mask_threshold]
+    contours = [x for x in contours if geo.contour_area(x) > mask_threshold]
     if not contours:
         return 0.0
-    angles = [cv2.minAreaRect(x)[2] for x in contours]
+    angles = [geo.min_area_rect(x)[2] for x in contours]
     # minAreaRect angle conventions differ across cv2 versions: 4.x returns
     # [0, 90), 5.x returns (-90, 0]. The reference's low/high split
     # (line_detection.py:171-183) assumes 4.x; normalize to the actual line
@@ -117,7 +117,7 @@ def build_line_data(contour: np.ndarray, optimize: bool = True) -> Line:
     """Contour -> Line with bbox + center (reference: line_detection.py:188)."""
     if optimize:
         contour = optimize_contour(contour)
-    x, y, w, h = cv2.boundingRect(contour)
+    x, y, w, h = geo.bounding_rect(contour)
     bbox = BBox(x, y, w, h)
     return Line(
         guid=generate_guid(clock_seq=23),
@@ -148,7 +148,7 @@ def build_raw_line_data(
         out_img = image
 
     line_contours = [
-        x for x in get_contours(out_mask) if cv2.contourArea(x) > 10
+        x for x in get_contours(out_mask) if geo.contour_area(x) > 10
     ]
     out_mask = cv2.cvtColor(out_mask, cv2.COLOR_GRAY2RGB)
     return out_img, out_mask, line_contours, angle
@@ -161,7 +161,7 @@ def filter_line_contours(
     (reference: line_detection.py:247-264)."""
     filtered = []
     for cnt in line_contours:
-        _, _, w, h = cv2.boundingRect(cnt)
+        _, _, w, h = geo.bounding_rect(cnt)
         if w > image.shape[1] * threshold and h > 10:
             filtered.append(cnt)
     return filtered
@@ -187,7 +187,7 @@ class _LineRoi:
         k0 = int(bbox_h * k_factor)
         kw0 = max(k0, 1)
         kh0 = max(int(k0 * k_factor), 1)
-        x, y, w, h = cv2.boundingRect(contour)
+        x, y, w, h = geo.bounding_rect(contour)
         pad_x = kw0 // 2 + 1
         pad_y = kh0 // 2 + 1
         x0 = max(0, x - pad_x)
@@ -320,7 +320,7 @@ def extract_line_images(
     current_k = default_k
     line_images = []
     for line in line_data:
-        _, _, _, h = cv2.boundingRect(line.contour)
+        _, _, _, h = geo.bounding_rect(line.contour)
         line_img, adapted_k = get_line_image(
             image, line.contour, h, bbox_tolerance=bbox_tolerance,
             k_factor=current_k,
@@ -341,7 +341,7 @@ def get_line_threshold(line_prediction: np.ndarray, slice_width: int = 20) -> fl
     if line_prediction.ndim == 3:
         line_prediction = cv2.cvtColor(line_prediction, cv2.COLOR_BGR2GRAY)
 
-    x, y, w, h = cv2.boundingRect(line_prediction)
+    x, y, w, h = geo.bounding_rect(line_prediction)
     x_steps = (w // slice_width) // 2
 
     bbox_numbers = []
@@ -349,9 +349,7 @@ def get_line_threshold(line_prediction: np.ndarray, slice_width: int = 20) -> fl
         x_start = x + x_steps * step
         x_end = x_start + slice_width
         _slice = line_prediction[y : y + h, x_start:x_end]
-        contours, _ = cv2.findContours(
-            _slice, cv2.RETR_LIST, cv2.CHAIN_APPROX_SIMPLE
-        )
+        contours = geo.find_contours(_slice)
         bbox_numbers.append((len(contours), contours))
 
     if not bbox_numbers:
@@ -361,7 +359,7 @@ def get_line_threshold(line_prediction: np.ndarray, slice_width: int = 20) -> fl
         return 0.0
     y_centers = []
     for cnt in contours:
-        _, cy, _, ch = cv2.boundingRect(cnt)
+        _, cy, _, ch = geo.bounding_rect(cnt)
         y_centers.append(cy + ch // 2)
     if not y_centers:
         return 0.0
@@ -407,8 +405,8 @@ def group_line_chunks(
             ]
             if not contour_stack:
                 continue
-            stacked = cv2.convexHull(np.vstack(contour_stack))
-            x, y, w, h = cv2.boundingRect(stacked)
+            stacked = geo.convex_hull(np.vstack(contour_stack))
+            x, y, w, h = geo.bounding_rect(stacked)
             bbox = BBox(x, y, w, h)
             new_lines.append(
                 Line(
@@ -496,10 +494,10 @@ def get_union_bbox(contours: list[np.ndarray]):
     if len(contours) == 0:
         return None, None
     all_points = np.vstack(contours)
-    x, y, w, h = cv2.boundingRect(all_points)
+    x, y, w, h = geo.bounding_rect(all_points)
     bbox = BBox(x, y, w, h)
-    (cx, cy), (width, height), angle = cv2.minAreaRect(all_points)
-    points = cv2.boxPoints(((cx, cy), (width, height), angle)).astype(np.int32)
+    (cx, cy), (width, height), angle = geo.min_area_rect(all_points)
+    points = geo.box_points(((cx, cy), (width, height), angle)).astype(np.int32)
     return bbox, RotatedBBox((float(cx), float(cy)), width, height, angle, points)
 
 
@@ -514,14 +512,12 @@ def get_text_area(image: np.ndarray, prediction: np.ndarray):
     dil_prediction = cv2.dilate(prediction, kernel=dil_kernel, iterations=10)
     prediction = cv2.resize(prediction, (image.shape[1], image.shape[0]))
     dil_prediction = cv2.resize(dil_prediction, (image.shape[1], image.shape[0]))
-    contours, _ = cv2.findContours(
-        dil_prediction, cv2.RETR_LIST, cv2.CHAIN_APPROX_NONE
-    )
+    contours = geo.find_contours(dil_prediction)
     if len(contours) == 0:
         return None, None, None
-    areas = [cv2.contourArea(x) for x in contours]
+    areas = [geo.contour_area(x) for x in contours]
     biggest = contours[int(np.argmax(areas))]
-    x, y, w, h = cv2.boundingRect(biggest)
+    x, y, w, h = geo.bounding_rect(biggest)
     area_mask = np.zeros((image.shape[0], image.shape[1], 3), dtype=np.float32)
     cv2.rectangle(area_mask, (x, y), (x + w, y + h), (255, 255, 255), -1)
     area_mask = cv2.cvtColor(area_mask, cv2.COLOR_BGR2GRAY)
@@ -540,13 +536,11 @@ def filter_contours_by_area(
 ) -> list[np.ndarray]:
     """Keep line contours whose min-area-rect center falls inside the text
     area (reference: BDRC/utils.py:667-681, named filter_contours there)."""
-    x, y, w, h = cv2.boundingRect(textarea_contour)
-    line_contours, _ = cv2.findContours(
-        prediction, cv2.RETR_LIST, cv2.CHAIN_APPROX_SIMPLE
-    )
+    x, y, w, h = geo.bounding_rect(textarea_contour)
+    line_contours = geo.find_contours(prediction)
     filtered = []
     for cnt in line_contours:
-        center, _, _ = cv2.minAreaRect(cnt)
+        center, _, _ = geo.min_area_rect(cnt)
         if is_inside_rectangle(center, [x, y, x + w, y + h]):
             filtered.append(cnt)
     return filtered
@@ -564,8 +558,6 @@ def post_process_prediction(image: np.ndarray, prediction: np.ndarray):
     )
     rotated_image = rotate_from_angle(image, angle)
     rotated_prediction = rotate_from_angle(prediction, angle)
-    moments = cv2.moments(textarea_contour)
-    cx = int(moments["m10"] / moments["m00"])
-    cy = int(moments["m01"] / moments["m00"])
+    cx, cy = geo.moments_centroid(textarea_contour)
     rotated_contour = rotate_contour(textarea_contour, (cx, cy), angle)
     return rotated_image, rotated_prediction, rotated_contour, angle

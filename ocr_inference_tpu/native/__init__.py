@@ -50,6 +50,8 @@ def _geometry_lib() -> Optional[ctypes.CDLL]:
         lib.ocr_find_contours.restype = ctypes.c_int
         lib.ocr_contour_area.restype = ctypes.c_double
         lib.ocr_convex_hull.restype = ctypes.c_int
+        lib.ocr_arc_length.restype = ctypes.c_double
+        lib.ocr_approx_poly_dp.restype = ctypes.c_int
         lib._configured = True
     return lib
 
@@ -133,6 +135,37 @@ def min_area_rect(contour: np.ndarray):
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
     return (float(out[0]), float(out[1])), (float(out[2]), float(out[3])), float(out[4])
+
+
+def arc_length(contour: np.ndarray, closed: bool = True) -> float:
+    lib = _geometry_lib()
+    pts = np.ascontiguousarray(contour.reshape(-1, 2).astype(np.int32))
+    return float(
+        lib.ocr_arc_length(
+            pts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(pts),
+            1 if closed else 0,
+        )
+    )
+
+
+def approx_poly_dp(
+    contour: np.ndarray, epsilon: float, closed: bool = True
+) -> np.ndarray:
+    """Douglas-Peucker simplification, cv2.approxPolyDP-shaped output
+    (N, 1, 2). Closed curves anchor on the mutually-farthest vertex pair, so
+    the result does not depend on the trace start point."""
+    lib = _geometry_lib()
+    pts = np.ascontiguousarray(contour.reshape(-1, 2).astype(np.int32))
+    out = np.empty(pts.size, np.int32)
+    n = lib.ocr_approx_poly_dp(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(pts),
+        ctypes.c_double(epsilon),
+        1 if closed else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out[: 2 * n].reshape(-1, 1, 2).copy()
 
 
 # ---------------------------------------------------------------------------

@@ -231,6 +231,103 @@ int ocr_convex_hull(const int32_t* points, int n, int32_t* out_points) {
     return k;
 }
 
+double ocr_arc_length(const int32_t* points, int n, int closed) {
+    if (n < 2) return 0.0;
+    double total = 0.0;
+    int last = closed ? n : n - 1;
+    for (int i = 0; i < last; ++i) {
+        int j = (i + 1) % n;
+        double dx = points[2 * j] - points[2 * i];
+        double dy = points[2 * j + 1] - points[2 * i + 1];
+        total += std::hypot(dx, dy);
+    }
+    return total;
+}
+
+namespace {
+
+// Perpendicular distance of p to segment (a, b).
+static double seg_dist(const Point& p, const Point& a, const Point& b) {
+    double ex = b.x - a.x, ey = b.y - a.y;
+    double len2 = ex * ex + ey * ey;
+    if (len2 == 0.0) return std::hypot((double)p.x - a.x, (double)p.y - a.y);
+    double cross = ex * (p.y - a.y) - ey * (p.x - a.x);
+    return std::fabs(cross) / std::sqrt(len2);
+}
+
+// Recursive Douglas-Peucker over in[lo..hi] (inclusive endpoints kept).
+static void dp_recurse(const std::vector<Point>& in, int lo, int hi,
+                       double eps, std::vector<char>& keep) {
+    if (hi - lo < 2) return;
+    double best = -1.0;
+    int best_i = -1;
+    for (int i = lo + 1; i < hi; ++i) {
+        double d = seg_dist(in[i], in[lo], in[hi]);
+        if (d > best) { best = d; best_i = i; }
+    }
+    if (best > eps) {
+        keep[best_i] = 1;
+        dp_recurse(in, lo, best_i, eps, keep);
+        dp_recurse(in, best_i, hi, eps, keep);
+    }
+}
+
+}  // namespace
+
+// Douglas-Peucker polygon simplification. For closed curves the two anchor
+// points are the pair of mutually-farthest vertices (the classic closed-DP
+// split), so results are rotation-of-start-point invariant. Writes the kept
+// points in input order; returns their count.
+int ocr_approx_poly_dp(const int32_t* points, int n, double epsilon,
+                       int closed, int32_t* out_points) {
+    std::vector<Point> pts(n);
+    for (int i = 0; i < n; ++i) pts[i] = {points[2 * i], points[2 * i + 1]};
+    std::vector<char> keep(n, 0);
+    if (n <= 2) {
+        for (int i = 0; i < n; ++i) keep[i] = 1;
+    } else if (!closed) {
+        keep[0] = keep[n - 1] = 1;
+        dp_recurse(pts, 0, n - 1, epsilon, keep);
+    } else {
+        // farthest point from vertex 0, then farthest from that
+        auto d2 = [&](const Point& a, const Point& b) {
+            double dx = a.x - b.x, dy = a.y - b.y;
+            return dx * dx + dy * dy;
+        };
+        int a = 0;
+        for (int i = 1; i < n; ++i)
+            if (d2(pts[i], pts[0]) > d2(pts[a], pts[0])) a = i;
+        int b = 0;
+        for (int i = 0; i < n; ++i)
+            if (d2(pts[i], pts[a]) > d2(pts[b], pts[a])) b = i;
+        if (a == b) {
+            keep[0] = 1;  // degenerate: all points identical
+        } else {
+            if (a > b) std::swap(a, b);
+            keep[a] = keep[b] = 1;
+            dp_recurse(pts, a, b, epsilon, keep);
+            // wrap-around arc b -> n-1, 0 -> a as one unrolled segment
+            std::vector<Point> arc;
+            std::vector<int> idx;
+            for (int i = b; i < n; ++i) { arc.push_back(pts[i]); idx.push_back(i); }
+            for (int i = 0; i <= a; ++i) { arc.push_back(pts[i]); idx.push_back(i); }
+            std::vector<char> arc_keep(arc.size(), 0);
+            arc_keep.front() = arc_keep.back() = 1;
+            dp_recurse(arc, 0, (int)arc.size() - 1, epsilon, arc_keep);
+            for (size_t i = 1; i + 1 < arc.size(); ++i)
+                if (arc_keep[i]) keep[idx[i]] = 1;
+        }
+    }
+    int k = 0;
+    for (int i = 0; i < n; ++i) {
+        if (!keep[i]) continue;
+        out_points[2 * k] = pts[i].x;
+        out_points[2 * k + 1] = pts[i].y;
+        ++k;
+    }
+    return k;
+}
+
 // Rotating calipers over the convex hull; writes cx, cy, w, h, angle_deg.
 void ocr_min_area_rect(const int32_t* points, int n, double* out5) {
     std::vector<int32_t> hull(2 * (size_t)(n + 1));

@@ -18,6 +18,8 @@ from glob import glob
 from typing import Optional
 
 import cv2
+
+from ocr_inference_tpu.geometry import backend as geo
 import numpy as np
 
 from ocr_inference_tpu.core.assets import get_filename
@@ -49,9 +51,7 @@ class ModernBookFormatLayoutDetection:
         """Union bbox of one class channel
         (reference: inference.py:899-918)."""
         class_map = prediction[:, :, class_index]
-        contours, _ = cv2.findContours(
-            class_map, cv2.RETR_LIST, cv2.CHAIN_APPROX_NONE
-        )
+        contours = geo.find_contours(class_map)
         if len(contours) == 0:
             return None
         bbox, _ = get_union_bbox(list(contours))

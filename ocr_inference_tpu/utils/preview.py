@@ -6,6 +6,8 @@ from __future__ import annotations
 from typing import Optional
 
 import cv2
+
+from ocr_inference_tpu.geometry import backend as geo
 import numpy as np
 
 from ocr_inference_tpu.core.config import COLOR_DICT
@@ -80,7 +82,7 @@ def create_layout_preview(image: np.ndarray, layout_mask: np.ndarray,
         if binary.sum() == 0:
             return []
         contours = [optimize_contour(c) for c in get_contours(binary)]
-        return [c for c in contours if cv2.contourArea(c) > size_thresh]
+        return [c for c in contours if geo.contour_area(c) > size_thresh]
 
     named = {}
     for idx, name in enumerate(classes):

@@ -197,6 +197,12 @@ def main():
         baseline = measure_baseline()
         BASELINE_FILE.write_text(json.dumps(baseline, indent=2))
 
+    # enable the fused Pallas image kernels when the chip compiles them
+    # (one bounded out-of-process probe; persists via marker + XLA cache)
+    from ocr_inference_tpu.ops.pallas_kernels import pallas_enabled, probe_pallas
+
+    probe_pallas(timeout_s=900)
+
     # data-parallel mesh over every available device (BASELINE config 5);
     # on the single-chip bench host this is a trivial 1-device mesh, so the
     # sharded path is exercised either way
@@ -224,6 +230,7 @@ def main():
         "page_shape": [PAGE_H, PAGE_W],
         "devices": n_dev,
         "mesh": dict(mesh.shape) if mesh is not None else None,
+        "pallas": pallas_enabled(),
         "stage_ms_per_page": stage_ms,
     }
     print(json.dumps(result))

@@ -40,7 +40,7 @@ from ocr_inference_tpu.core.data import (
 )
 from ocr_inference_tpu.decode.ctc import greedy_decode
 from ocr_inference_tpu.decode.decoder import CTCDecoder
-from ocr_inference_tpu.ops import imaging, packing, tiling
+from ocr_inference_tpu.ops import imaging, packing, pallas_kernels, tiling
 from ocr_inference_tpu.parallel.mesh import (
     DATA_AXIS,
     replicate_params,
@@ -88,6 +88,7 @@ class SegmentationEngine:
         tile_chunk: int = 32,
         classes: Optional[list[str]] = None,
         mesh: Optional[Mesh] = None,
+        use_pallas: Optional[bool] = None,
     ):
         self.model = model
         self.variables = variables
@@ -96,6 +97,9 @@ class SegmentationEngine:
         self.tile_chunk = tile_chunk
         self.classes = classes or ["line"]
         self.mesh = mesh
+        self.use_pallas = (
+            pallas_kernels.pallas_enabled() if use_pallas is None else use_pallas
+        )
         self._pre_cache = _ShapeLRU()
         self._post_cache = _ShapeLRU()
 
@@ -130,7 +134,12 @@ class SegmentationEngine:
                 # binarize per tile, as the reference does
                 # (inference.py:132-139) — the adaptive window does not see
                 # across tile borders
-                bw = jax.vmap(imaging.binarize)(tiles)
+                if self.use_pallas:
+                    # fused blur+threshold, one VMEM pass per tile
+                    bw1 = pallas_kernels.binarize_tiles_pallas(tiles)
+                    bw = jnp.repeat(bw1[..., None], 3, axis=-1)
+                else:
+                    bw = jax.vmap(imaging.binarize)(tiles)
                 return bw.astype(jnp.float32) / 255.0
 
             if self.mesh is not None:
@@ -294,12 +303,16 @@ class RecognitionEngine:
         kenlm_config: Optional[KenLMConfig] = None,
         batch_cfg: Optional[BatchConfig] = None,
         mesh: Optional[Mesh] = None,
+        use_pallas: Optional[bool] = None,
     ):
         self.model = model
         self.variables = variables
         self.config = config
         self.batch_cfg = batch_cfg or BatchConfig()
         self.mesh = mesh
+        self.use_pallas = (
+            pallas_kernels.pallas_enabled() if use_pallas is None else use_pallas
+        )
         self._dp = mesh.shape[DATA_AXIS] if mesh is not None else 1
         if mesh is not None:
             self.variables = replicate_params(mesh, variables)
@@ -342,7 +355,12 @@ class RecognitionEngine:
                 # (reference line prep: pad -> binarize -> gray -> scale,
                 # inference.py:336-347; gray/binarize/gray collapses to
                 # gray -> adaptive threshold)
-                bw = jax.vmap(imaging.adaptive_threshold_gaussian)(gray_u8)
+                if self.use_pallas and pallas_kernels.line_kernel_applicable(
+                    gray_u8.shape[1], gray_u8.shape[2]
+                ):
+                    bw = pallas_kernels.binarize_lines_pallas(gray_u8)
+                else:
+                    bw = jax.vmap(imaging.adaptive_threshold_gaussian)(gray_u8)
                 x = bw.astype(jnp.float32) / 127.5 - 1.0  # (B, H, W)
                 logits = self.model.apply(variables, x, train=False)
                 if want_logits:

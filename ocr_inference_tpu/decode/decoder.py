@@ -124,3 +124,28 @@ class CTCDecoder:
             lm_score_fn=self._lm_score_fn if use_lm else None,
             top_k=top_k,
         )
+
+    def ctc_beam_decode_batch(
+        self, logits, use_lm: bool = True, top_k: int = 10
+    ) -> list[list[Beam]]:
+        """Beam decode a whole (B, T, V) batch.
+
+        LM-free batches go through the vectorized search
+        (decode.ctc_batch); shallow LM fusion needs a scorer call per
+        candidate, so it stays on the per-line path.
+        """
+        arr = np.asarray(logits)
+        if use_lm and self._lm_score_fn is not None:
+            return [
+                self.ctc_beam_decode(arr[b], use_lm=True, top_k=top_k)
+                for b in range(arr.shape[0])
+            ]
+        from ocr_inference_tpu.decode.ctc_batch import beam_search_batch
+
+        return beam_search_batch(
+            arr,
+            self.charset,
+            add_blank=self.add_blank,
+            beam_width=self.ctc_beam_width,
+            top_k=top_k,
+        )

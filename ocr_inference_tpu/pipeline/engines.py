@@ -463,10 +463,13 @@ class RecognitionEngine:
         for width, b, idxs, arr in self._batch_iter(prepared):
             fn = self._forward_fn(b, width, want_logits=True)
             logits = np.asarray(fn(self.variables, arr))
+            # decode the whole bucket at once (vectorized prefix search;
+            # scalar per-line only under LM fusion — see ctc_beam_decode_batch)
+            batch_beams = decoder.ctc_beam_decode_batch(
+                logits[: len(idxs)], use_lm=use_lm, top_k=top_k
+            )
             for row, idx in enumerate(idxs):
-                beams_by_idx[idx] = decoder.ctc_beam_decode(
-                    logits[row], use_lm=use_lm, top_k=top_k
-                )
+                beams_by_idx[idx] = batch_beams[row]
         return [beams_by_idx.get(i, []) for i in range(len(line_images))]
 
     def run(self, line_image: np.ndarray, pre_pad: bool = False,

@@ -21,10 +21,14 @@ from ocr_inference_tpu.decode.ctc import Beam, beam_search, greedy_decode, ids_t
 def _load_lm(kenlm_config: KenLMConfig):
     """Build the n-gram scorer for a KenLM config.
 
-    Preference order (reference loads KenLM through pyctcdecode,
-    inference.py:97-104): the first-party C++ scorer (native/arpa_lm.cpp),
-    then the Python ArpaLM twin. Env ``OCR_NATIVE_ARPA=0`` forces Python.
-    A ``.binary`` KenLM artifact is read through decode.kenlm_binary.
+    The reference feeds pyctcdecode the ``.binary`` (inference.py:97-104)
+    with the ``.arpa`` always downloaded alongside (utils.py:132-159).
+    Deliberate divergence: when a readable ``.arpa`` is configured it wins
+    (exact, fully validated text format) — served by the first-party C++
+    scorer (native/arpa_lm.cpp) or its Python twin (``OCR_NATIVE_ARPA=0``
+    forces Python). A ``.binary`` is read through decode.kenlm_binary when
+    it is the only artifact, with a fallback to the sibling ``.arpa`` if
+    the binary fails to parse (e.g. TRIE format).
     """
     path = Path(kenlm_config.arpa_file)
     if str(path).endswith(".binary") or (
@@ -35,7 +39,15 @@ def _load_lm(kenlm_config: KenLMConfig):
         binary = path if str(path).endswith(".binary") else Path(
             kenlm_config.kenlm_file
         )
-        return KenLMBinary(binary)
+        try:
+            return KenLMBinary(binary)
+        except Exception as e:
+            # fall back to the sibling .arpa the reference always downloads
+            # alongside (BDRC/utils.py:132-159) — e.g. TRIE-format binaries
+            if path.is_file() and not str(path).endswith(".binary"):
+                print(f"KenLM binary unusable ({e}); using {path}")
+            else:
+                raise
     if os.environ.get("OCR_NATIVE_ARPA", "auto").lower() not in (
         "0", "false", "off"
     ):

@@ -74,11 +74,12 @@ def build(det_chunk: int = 32, per_line: bool = False, mesh=None):
 
     class BenchLineModel(nn.Module):
         """Full UNet compute (cost realism) + a deterministic dark-band
-        detector (functional masks despite random weights)."""
+        detector (functional masks despite random weights). bf16 like the
+        production builder default (pipeline/builder.py)."""
 
         @nn.compact
         def __call__(self, x, train: bool = False):
-            unet_logits = UNet(classes=1)(x, train)
+            unet_logits = UNet(classes=1, dtype=jnp.bfloat16)(x, train)
             dark = 1.0 - jnp.mean(x, axis=-1, keepdims=True)
             density = nn.avg_pool(dark, (9, 41), strides=(1, 1), padding="SAME")
             return unet_logits * 1e-6 + (density - 0.35) * 40.0
@@ -95,7 +96,7 @@ def build(det_chunk: int = 32, per_line: bool = False, mesh=None):
         squeeze_channel=True, swap_hw=False, encoder=CharsetEncoder.WYLIE,
         charset=charset, add_blank=True, version="bench",
     )
-    rec_model = Easter2(vocab_size=len(charset) + 1)
+    rec_model = Easter2(vocab_size=len(charset) + 1, dtype=jnp.bfloat16)
     rec_vars = init_recognizer(rec_model, 80, 256)
     batch_cfg = BatchConfig(
         max_lines_per_batch=1 if per_line else 64,

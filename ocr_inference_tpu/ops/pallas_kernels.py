@@ -144,7 +144,11 @@ def binarize_tile_pallas(
     h, w = tile.shape[0], tile.shape[1]
     lmat = jnp.asarray(_band_matrix(h, block_size))
     rmat = jnp.asarray(_band_matrix(w, block_size).T)
-    gray = rgb_to_gray(tile).astype(jnp.float32) if tile.ndim == 3 else tile
+    gray = (
+        rgb_to_gray(tile).astype(jnp.float32)
+        if tile.ndim == 3
+        else tile.astype(jnp.float32)
+    )
     out = pl.pallas_call(
         _binarize_kernel,
         out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),

@@ -124,22 +124,27 @@ class SegmentationEngine:
 
     # -- jitted stages --
 
-    def _pre_fn(self, plan: tiling.PagePlan):
-        key = (plan.orig_h, plan.orig_w, plan.padded_h, plan.padded_w)
+    def _pre_fn(self, plan: tiling.PagePlan, gray_input: bool):
+        key = (plan.orig_h, plan.orig_w, plan.padded_h, plan.padded_w,
+               gray_input)
 
         def build():
             def fn(img):
                 padded = tiling.preprocess_page(img, plan)
                 tiles = tiling.tile_page(padded, self.patch_size)
+                if gray_input:
+                    tiles = tiles[..., 0]  # (N, p, p) gray
                 # binarize per tile, as the reference does
                 # (inference.py:132-139) — the adaptive window does not see
                 # across tile borders
                 if self.use_pallas:
                     # fused blur+threshold, one VMEM pass per tile
                     bw1 = pallas_kernels.binarize_tiles_pallas(tiles)
-                    bw = jnp.repeat(bw1[..., None], 3, axis=-1)
+                elif gray_input:
+                    bw1 = jax.vmap(imaging.adaptive_threshold_gaussian)(tiles)
                 else:
-                    bw = jax.vmap(imaging.binarize)(tiles)
+                    bw1 = jax.vmap(imaging.binarize)(tiles)[..., 0]
+                bw = jnp.repeat(bw1[..., None], 3, axis=-1)
                 return bw.astype(jnp.float32) / 255.0
 
             if self.mesh is not None:
@@ -185,18 +190,16 @@ class SegmentationEngine:
     def _run_tiles(self, tiles: jax.Array) -> jax.Array:
         """Forward all tiles in fixed-size chunks.
 
-        The chunk is the smaller of the configured tile_chunk and the next
-        power of two >= the tile count, so small pages don't pay for a full
-        chunk of padding (a 15-tile page runs as 16, not 32) while the set
-        of compiled shapes stays bounded."""
+        Pages that fit one chunk run at their EXACT tile count (volumes are
+        shape-homogeneous, so this still compiles once per geometry and a
+        24-tile page no longer pays for 8 tiles of padding); multi-chunk
+        pages use the configured tile_chunk so the set of compiled shapes
+        stays bounded."""
         n = tiles.shape[0]
-        chunk = 1
-        while chunk < n:
-            chunk *= 2
-        chunk = min(chunk, self.tile_chunk)
+        chunk = n if n <= self.tile_chunk else self.tile_chunk
         if self.mesh is not None:
             dp = self.mesh.shape[DATA_AXIS]
-            chunk = max(chunk, dp)
+            chunk = -(-chunk // dp) * dp
         outs = []
         for start in range(0, n, chunk):
             block = tiles[start : start + chunk]
@@ -212,27 +215,54 @@ class SegmentationEngine:
 
     # -- public API --
 
-    def predict(self, image: np.ndarray, class_threshold: float | None = None):
-        """Full-page prediction; returns a uint8 mask (line mode: (H, W),
-        layout mode: (H, W, C))."""
+    def predict_async(
+        self, image: np.ndarray, class_threshold: float | None = None
+    ):
+        """Dispatch a full-page prediction; returns a zero-arg resolver.
+
+        Every device program (pre, tiled forward, post/pack) is enqueued
+        asynchronously — only the resolver's D2H of the bit-packed mask
+        blocks. VolumeRunner uses this to overlap page i's host geometry
+        with page i+1's detection (the reference is strictly synchronous,
+        inference.py:488-506)."""
         if class_threshold is None:
             class_threshold = 0.9 if self.mode == "line" else 0.8
         h, w = image.shape[:2]
         plan = tiling.plan_page(h, w, self.patch_size)
+        arr = np.asarray(image)
+        # When the plan has no resize, grayscale on host (bit-exact with the
+        # device op) so the H2D transfer is 1 channel instead of 3 — the
+        # page upload dominates detection cost over the device tunnel. With
+        # a resize, channel order matters (gray-of-resized != resized-gray
+        # by +/-1 fixed-point counts), so RGB goes up unchanged.
+        gray_input = (
+            arr.ndim == 3
+            and (plan.resized_h, plan.resized_w) == (plan.orig_h, plan.orig_w)
+        )
+        if gray_input:
+            arr = cv2.cvtColor(arr, cv2.COLOR_RGB2GRAY)[..., None]
         # numpy input stays uncommitted, so the same call works whether the
         # pre program runs on one device or a mesh
-        tiles = self._pre_fn(plan)(np.asarray(image))
+        tiles = self._pre_fn(plan, gray_input)(arr)
         logits = self._run_tiles(tiles)
         n_classes = logits.shape[-1]
-        packed = np.asarray(
-            self._post_fn(plan, class_threshold, n_classes)(logits)
-        )
-        # masks travel bit-packed (32x less D2H traffic); unpack on host
-        bits = packing.unpack_mask(packed, w)
-        if self.mode == "line":
-            return (bits * 255).astype(np.uint8)
-        # (C, H, W) -> (H, W, C)
-        return (np.transpose(bits, (1, 2, 0)) * 255).astype(np.uint8)
+        packed_dev = self._post_fn(plan, class_threshold, n_classes)(logits)
+
+        def resolve():
+            packed = np.asarray(packed_dev)  # the only blocking point
+            # masks travel bit-packed (32x less D2H traffic); unpack on host
+            bits = packing.unpack_mask(packed, w)
+            if self.mode == "line":
+                return (bits * 255).astype(np.uint8)
+            # (C, H, W) -> (H, W, C)
+            return (np.transpose(bits, (1, 2, 0)) * 255).astype(np.uint8)
+
+        return resolve
+
+    def predict(self, image: np.ndarray, class_threshold: float | None = None):
+        """Full-page prediction; returns a uint8 mask (line mode: (H, W),
+        layout mode: (H, W, C))."""
+        return self.predict_async(image, class_threshold)()
 
 
 # ---------------------------------------------------------------------------

@@ -98,15 +98,26 @@ class OCRPipeline:
 
     # ==================== Stage methods ====================
 
+    def detect_lines_async(self, image: np.ndarray):
+        """Stage 1, dispatched: device work is enqueued now; the returned
+        zero-arg resolver blocks only on the packed-mask D2H. Lets callers
+        overlap one page's detection with another's host geometry."""
+        resolver = self.line_inference.predict_async(image)
+        if self.line_inference.mode == "layout":
+            classes = self.line_inference.classes
+
+            def resolve():
+                layout_mask = resolver()
+                return OpStatus.SUCCESS, layout_mask[
+                    :, :, classes.index("line")
+                ]
+
+            return resolve
+        return lambda: (OpStatus.SUCCESS, resolver())
+
     def detect_lines(self, image: np.ndarray):
         """Stage 1: line/layout mask (reference: inference.py:488-506)."""
-        if self.line_inference.mode == "layout":
-            layout_mask = self.line_inference.predict(image)
-            classes = self.line_inference.classes
-            line_mask = layout_mask[:, :, classes.index("line")]
-        else:
-            line_mask = self.line_inference.predict(image)
-        return OpStatus.SUCCESS, line_mask
+        return self.detect_lines_async(image)()
 
     def build_lines(self, image: np.ndarray, line_mask: np.ndarray):
         """Stage 2: deskew + contours (reference: inference.py:508-533)."""

@@ -53,23 +53,50 @@ class VolumeRunner:
         pipeline: OCRPipeline,
         window_pages: int = 8,
         prefetch_workers: int = 2,
+        geometry_workers: int = 2,
     ):
         self.pipeline = pipeline
         self.window_pages = max(1, window_pages)
         self.prefetch_workers = prefetch_workers
+        self.geometry_workers = max(1, geometry_workers)
 
     # -- phase 1: one page to strips --
 
-    def _page_to_strips(self, name: str, image: np.ndarray, *,
-                        use_tps: bool, tps_threshold: float,
-                        merge_lines: bool, k_factor: float,
-                        bbox_tolerance: float):
-        p = self.pipeline
+    def _start_detect(self, name: str, image: np.ndarray):
+        """Dispatch page detection on device; returns (record, resolver).
+
+        Dispatch errors are absorbed into the record so a bad page still
+        never kills the volume."""
         rec = PageRecord(name=name, status=OpStatus.SUCCESS)
         t0 = time.perf_counter()
         try:
-            status, mask = p.detect_lines(image)
-            rec.timings_ms["detect"] = (time.perf_counter() - t0) * 1000
+            resolver = self.pipeline.detect_lines_async(image)
+        except Exception as e:
+            rec.status = OpStatus.FAILED
+            rec.error = f"page failed: {e}"
+            resolver = None
+        rec.timings_ms["detect_dispatch"] = (time.perf_counter() - t0) * 1000
+        return rec, resolver
+
+    def _page_to_strips(self, rec: PageRecord, image: np.ndarray, resolver, *,
+                        use_tps: bool, tps_threshold: float,
+                        merge_lines: bool, k_factor: float,
+                        bbox_tolerance: float):
+        """Resolve a dispatched detection and run the host geometry chain.
+
+        While this host work runs, the NEXT page's detection is already
+        executing on device (see run() — the reference interleaves nothing,
+        cli.py:113-139)."""
+        p = self.pipeline
+        if rec.status == OpStatus.FAILED or resolver is None:
+            return rec, []
+        t0 = time.perf_counter()
+        try:
+            status, mask = resolver()
+            rec.timings_ms["detect"] = (
+                (time.perf_counter() - t0) * 1000
+                + rec.timings_ms.get("detect_dispatch", 0.0)
+            )
             if status == OpStatus.FAILED:
                 rec.status, rec.error = status, str(mask)
                 return rec, []
@@ -107,7 +134,9 @@ class VolumeRunner:
             rec.lines = sorted_lines
             rec.angle = float(angle)
             rec.timings_ms["geometry"] = (
-                (time.perf_counter() - t0) * 1000 - rec.timings_ms["detect"]
+                (time.perf_counter() - t0) * 1000
+                + rec.timings_ms.get("detect_dispatch", 0.0)
+                - rec.timings_ms["detect"]
             )
             return rec, strips
         except Exception as e:  # page isolation
@@ -236,27 +265,54 @@ class VolumeRunner:
                 while queue:
                     yield queue.popleft().result()
 
-            for name, img in loaded():
-                if img is None:
-                    window.append((
-                        PageRecord(
-                            name=name, status=OpStatus.FAILED,
-                            error="load failed",
-                        ),
-                        [],
-                    ))
-                else:
-                    window.append(
-                        self._page_to_strips(
-                            name, img,
+            # Detection for upcoming pages stays in flight on device while
+            # host geometry runs on a small thread pool (cv2/native C++
+            # release the GIL), results drained in input order. The
+            # reference runs every stage back to back (cli.py:113-139).
+            geo_pool = ThreadPoolExecutor(max_workers=self.geometry_workers)
+            inflight: deque = deque()
+            depth = self.geometry_workers + 1
+
+            def process(fut):
+                nonlocal window
+                window.append(fut.result())
+                if len(window) >= self.window_pages:
+                    start_flush(window)
+                    window = []
+
+            def failed_entry(rec):
+                def done():
+                    return rec, []
+
+                fut = geo_pool.submit(done)
+                return fut
+
+            try:
+                for name, img in loaded():
+                    if img is None:
+                        fut = failed_entry(
+                            PageRecord(
+                                name=name, status=OpStatus.FAILED,
+                                error="load failed",
+                            )
+                        )
+                    else:
+                        # dispatch on the main thread: device execution
+                        # order (and jit cache warmth) follows input order
+                        rec, resolver = self._start_detect(name, img)
+                        fut = geo_pool.submit(
+                            self._page_to_strips, rec, img, resolver,
                             use_tps=use_tps, tps_threshold=tps_threshold,
                             merge_lines=merge_lines, k_factor=k_factor,
                             bbox_tolerance=bbox_tolerance,
                         )
-                    )
-                if len(window) >= self.window_pages:
-                    start_flush(window)
-                    window = []
+                    inflight.append(fut)
+                    while len(inflight) > depth:
+                        process(inflight.popleft())
+                while inflight:
+                    process(inflight.popleft())
+            finally:
+                geo_pool.shutdown(wait=False)
             if window:
                 start_flush(window)
             if pending is not None:

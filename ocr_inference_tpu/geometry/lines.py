@@ -203,13 +203,20 @@ class _LineRoi:
         cv2.drawContours(self.mask, [shifted], -1, 255, -1)
         # nonzero-in-any-channel map (mask_n_crop crops to the nonzero
         # extent of image*mask, so black image pixels shrink the bbox)
-        nz = roi[..., 0]
-        for c in range(1, roi.shape[2]):
-            nz = np.bitwise_or(nz, roi[..., c])
-        self.nonzero = np.ascontiguousarray(nz)
+        if roi.shape[2] == 1:
+            self.nonzero = np.ascontiguousarray(roi[..., 0])
+        else:
+            nz = cv2.bitwise_or(roi[..., 0], roi[..., 1])
+            for c in range(2, roi.shape[2]):
+                nz = cv2.bitwise_or(nz, roi[..., c], dst=nz)
+            self.nonzero = nz
 
     def attempt(self, bbox_h: int, k: float):
-        """One dilation attempt; returns (strip_height, crop_fn)."""
+        """One dilation attempt; returns (strip_height, crop_fn).
+
+        Only the row extent (the accept criterion) is computed up front;
+        the column extent and the masked crop are deferred to crop(), so
+        rejected attempts pay one dilate + one row reduce and nothing else."""
         k_size = int(bbox_h * k)
         kw = max(k_size, 1)
         kh = max(int(k_size * k), 1)
@@ -217,8 +224,7 @@ class _LineRoi:
         dilated = cv2.dilate(self.mask, kernel, iterations=1)
         nz = cv2.bitwise_and(self.nonzero, dilated)
         rows = np.flatnonzero(cv2.reduce(nz, 1, cv2.REDUCE_MAX))
-        cols = np.flatnonzero(cv2.reduce(nz, 0, cv2.REDUCE_MAX))
-        if rows.size == 0 or cols.size == 0:
+        if rows.size == 0:
             c = self.roi.shape[2]
 
             def empty():
@@ -226,11 +232,17 @@ class _LineRoi:
 
             return 0, empty
         r0, r1 = int(rows[0]), int(rows[-1]) + 1
-        c0, c1 = int(cols[0]), int(cols[-1]) + 1
 
         def crop():
-            out = self.roi[r0:r1, c0:c1] * (dilated[r0:r1, c0:c1, None] != 0)
-            return np.ascontiguousarray(out)
+            cols = np.flatnonzero(cv2.reduce(nz, 0, cv2.REDUCE_MAX))
+            if cols.size == 0:
+                return np.zeros((0, 0, self.roi.shape[2]), dtype=np.uint8)
+            c0, c1 = int(cols[0]), int(cols[-1]) + 1
+            src = np.ascontiguousarray(self.roi[r0:r1, c0:c1])
+            out = cv2.bitwise_and(
+                src, src, mask=np.ascontiguousarray(dilated[r0:r1, c0:c1])
+            )
+            return out[..., None] if out.ndim == 2 else out
 
         return r1 - r0, crop
 

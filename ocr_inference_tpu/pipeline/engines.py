@@ -22,6 +22,7 @@ TPU-first rework of the reference's ONNX session wrappers
 
 from __future__ import annotations
 
+import os
 from collections import OrderedDict
 from typing import Optional, Sequence
 
@@ -89,6 +90,7 @@ class SegmentationEngine:
         classes: Optional[list[str]] = None,
         mesh: Optional[Mesh] = None,
         use_pallas: Optional[bool] = None,
+        pack_input: Optional[bool] = None,
     ):
         self.model = model
         self.variables = variables
@@ -100,6 +102,14 @@ class SegmentationEngine:
         self.use_pallas = (
             pallas_kernels.pallas_enabled() if use_pallas is None else use_pallas
         )
+        if pack_input is None:
+            # The packed upload trades ~60-80ms of host binarize per page
+            # for 8x less H2D. It wins when host cores are plentiful and
+            # loses when the host is starved (measured: 4.5 -> 2.8 pages/s
+            # on a 1-core bench host whose geometry threads already
+            # saturate the CPU), so auto mode keys on core count.
+            pack_input = (os.cpu_count() or 1) > 2
+        self.pack_input = pack_input
         self._pre_cache = _ShapeLRU()
         self._post_cache = _ShapeLRU()
 
@@ -154,6 +164,49 @@ class SegmentationEngine:
             return jax.jit(fn)
 
         return self._pre_cache.get(key, build)
+
+    def _pre_packed_fn(self, plan: tiling.PagePlan):
+        """Jitted unpack of host-binarized, bit-packed tiles: (N, p, n32)
+        int32 -> (N, p, p, 3) float tiles in [0, 1] — exactly what _pre_fn
+        produces, minus the on-device binarize (it already happened on host,
+        with cv2 itself, so this path is reference-exact by construction)."""
+        key = ("packed", plan.n_tiles)
+
+        def build():
+            def fn(packed):
+                bits = packing.unpack_bits_device(packed, self.patch_size)
+                bw = jnp.repeat(bits[..., None], 3, axis=-1)
+                return bw.astype(jnp.float32)
+
+            if self.mesh is not None:
+                return jax.jit(fn, out_shardings=replicated(self.mesh))
+            return jax.jit(fn)
+
+        return self._pre_cache.get(key, build)
+
+    def _pack_tiles_host(self, gray: np.ndarray, plan: tiling.PagePlan):
+        """Host half of the packed-input path: pad-255, tile, binarize each
+        tile with cv2 (the reference binarizes per tile, inference.py:132-139),
+        pack to int32 words. 8x less H2D traffic than the uint8 gray page —
+        the page upload dominates detection cost over slow transports."""
+        from ocr_inference_tpu.core.config import BINARIZE_BLOCK, BINARIZE_C
+
+        p = self.patch_size
+        padded = np.full((plan.padded_h, plan.padded_w), 255, np.uint8)
+        padded[: plan.resized_h, : plan.resized_w] = gray
+        tiles = (
+            padded.reshape(plan.y_steps, p, plan.x_steps, p)
+            .transpose(0, 2, 1, 3)
+            .reshape(plan.n_tiles, p, p)
+        )
+        bw = np.empty_like(tiles)
+        for i in range(plan.n_tiles):
+            cv2.adaptiveThreshold(
+                np.ascontiguousarray(tiles[i]), 255,
+                cv2.ADAPTIVE_THRESH_GAUSSIAN_C, cv2.THRESH_BINARY,
+                BINARIZE_BLOCK, BINARIZE_C, dst=bw[i],
+            )
+        return packing.pack_bits_host(bw)
 
     def _post_fn(self, plan: tiling.PagePlan, threshold: float, n_classes: int):
         key = (plan.orig_h, plan.orig_w, plan.padded_h, plan.padded_w,
@@ -231,19 +284,24 @@ class SegmentationEngine:
         plan = tiling.plan_page(h, w, self.patch_size)
         arr = np.asarray(image)
         # When the plan has no resize, grayscale on host (bit-exact with the
-        # device op) so the H2D transfer is 1 channel instead of 3 — the
-        # page upload dominates detection cost over the device tunnel. With
-        # a resize, channel order matters (gray-of-resized != resized-gray
-        # by +/-1 fixed-point counts), so RGB goes up unchanged.
+        # device op) so the H2D transfer shrinks. With a resize, channel
+        # order matters (gray-of-resized != resized-gray by +/-1 fixed-point
+        # counts), so RGB goes up unchanged and everything runs on device.
         gray_input = (
             arr.ndim == 3
             and (plan.resized_h, plan.resized_w) == (plan.orig_h, plan.orig_w)
         )
-        if gray_input:
-            arr = cv2.cvtColor(arr, cv2.COLOR_RGB2GRAY)[..., None]
-        # numpy input stays uncommitted, so the same call works whether the
-        # pre program runs on one device or a mesh
-        tiles = self._pre_fn(plan, gray_input)(arr)
+        if gray_input and self.pack_input:
+            # binarize on host (cv2 itself — reference-exact) and upload the
+            # page as packed bits: 8x less H2D than uint8 gray
+            gray = cv2.cvtColor(arr, cv2.COLOR_RGB2GRAY)
+            tiles = self._pre_packed_fn(plan)(self._pack_tiles_host(gray, plan))
+        else:
+            if gray_input:
+                arr = cv2.cvtColor(arr, cv2.COLOR_RGB2GRAY)[..., None]
+            # numpy input stays uncommitted, so the same call works whether
+            # the pre program runs on one device or a mesh
+            tiles = self._pre_fn(plan, gray_input)(arr)
         logits = self._run_tiles(tiles)
         n_classes = logits.shape[-1]
         packed_dev = self._post_fn(plan, class_threshold, n_classes)(logits)

@@ -97,6 +97,18 @@ def test_detection_engine_masks_lines(engines):
     assert mask[30, 600] == 0
 
 
+def test_detection_packed_input_parity(engines):
+    """The packed-bits upload path (host cv2 binarize + bit-packed H2D) must
+    produce the exact mask of the on-device binarize path."""
+    det, _ = engines
+    img = _page(n_lines=3)
+    det.pack_input = False
+    baseline = det.predict(img)
+    det.pack_input = True
+    packed = det.predict(img)
+    assert (packed == baseline).all()
+
+
 def test_pad_ocr_line_host_shapes():
     strip = np.full((40, 700, 3), 128, np.uint8)
     out = pad_ocr_line_host(strip, 2000, 80)

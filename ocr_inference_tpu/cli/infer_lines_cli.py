@@ -43,8 +43,9 @@ def parse_args(argv=None):
     parser.add_argument("--num-classes", type=int, default=1,
                         help="Number of output classes (default: 1)")
     parser.add_argument("-b", "--batch-size", type=int, default=8,
-                        help="Batch size (kept for flag parity; tiling "
-                             "batches are managed on device)")
+                        help="Pages per many-pages-one-tensor detection "
+                             "batch (tiles of the whole group share one "
+                             "device forward stream)")
     parser.add_argument("-w", "--num-workers", type=int, default=4,
                         help="Number of image-loading workers")
     parser.add_argument("-t", "--class-threshold", type=float, default=0.85,
@@ -102,12 +103,33 @@ def main(argv=None):
     start = time.perf_counter()
     n_done = 0
     with ThreadPoolExecutor(max_workers=args.num_workers) as pool:
-        # the loader pool overlaps disk decode with device inference
-        for path, img in pool.map(_load_image, paths):
-            if img is None:
-                print(f"Failed to load image: {path}")
-                continue
-            mask = engine.predict(img, class_threshold=args.class_threshold)
+        # the loader pool overlaps disk decode with device inference; pages
+        # run through the many-pages-one-tensor path in -b sized groups, so
+        # forward chunks fill completely across page boundaries (reference:
+        # the DataLoader collate + infer_batch pattern, utils.py:1142-1237)
+        def batched_masks():
+            batch: list[tuple[str, object]] = []
+
+            def flush():
+                resolvers = engine.predict_many_async(
+                    [img for _, img in batch],
+                    class_threshold=args.class_threshold,
+                )
+                for (p, img), resolve in zip(batch, resolvers):
+                    yield p, img, resolve()
+                batch.clear()
+
+            for path, img in pool.map(_load_image, paths):
+                if img is None:
+                    print(f"Failed to load image: {path}")
+                    continue
+                batch.append((path, img))
+                if len(batch) >= max(1, args.batch_size):
+                    yield from flush()
+            if batch:
+                yield from flush()
+
+        for path, img, mask in batched_masks():
             contours = get_contours(mask)
             result = {
                 "image_name": os.path.basename(path),

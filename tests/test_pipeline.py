@@ -109,6 +109,18 @@ def test_detection_packed_input_parity(engines):
     assert (packed == baseline).all()
 
 
+def test_detection_predict_many_parity(engines):
+    """The many-pages-one-tensor path must return exactly the per-page
+    masks, including for mixed page sizes (different tile counts)."""
+    det, _ = engines
+    pages = [_page(n_lines=2), _page(n_lines=4), _page(n_lines=3, h=700, w=900)]
+    singles = [det.predict(p) for p in pages]
+    resolvers = det.predict_many_async(pages)
+    for single, resolve in zip(singles, resolvers):
+        assert (resolve() == single).all()
+    assert det.predict_many_async([]) == []
+
+
 def test_pad_ocr_line_host_shapes():
     strip = np.full((40, 700, 3), 128, np.uint8)
     out = pad_ocr_line_host(strip, 2000, 80)

@@ -106,8 +106,10 @@ def build(det_chunk: int = 32, per_line: bool = False, mesh=None):
         max_lines_per_batch=1 if per_line else 64,
         width_buckets=(3000,) if per_line else (512, 1024, 2000, 3000),
     )
-    rec = RecognitionEngine(rec_model, rec_vars, cfg, batch_cfg=batch_cfg,
-                            mesh=mesh)
+    rec = RecognitionEngine(
+        rec_model, rec_vars, cfg, batch_cfg=batch_cfg, mesh=mesh,
+        pack_input=os.environ.get("BENCH_REC_PACK", "1") == "1",
+    )
     return OCRPipeline(rec, det)
 
 

@@ -308,15 +308,18 @@ class SegmentationEngine:
         if class_threshold is None:
             class_threshold = 0.9 if self.mode == "line" else 0.8
         plan, tiles = self._dispatch_tiles(image)
-        w = image.shape[1]
         logits = self._run_tiles(tiles)
         n_classes = logits.shape[-1]
         packed_dev = self._post_fn(plan, class_threshold, n_classes)(logits)
+        return self._mask_resolver(packed_dev, image.shape[1])
+
+    def _mask_resolver(self, packed_dev, w: int):
+        """Zero-arg resolver for a dispatched bit-packed mask; its D2H of
+        the packed words (32x less traffic than uint8) is the only blocking
+        point of the whole detection chain."""
 
         def resolve():
-            packed = np.asarray(packed_dev)  # the only blocking point
-            # masks travel bit-packed (32x less D2H traffic); unpack on host
-            bits = packing.unpack_mask(packed, w)
+            bits = packing.unpack_mask(np.asarray(packed_dev), w)
             if self.mode == "line":
                 return (bits * 255).astype(np.uint8)
             # (C, H, W) -> (H, W, C)
@@ -365,16 +368,7 @@ class SegmentationEngine:
             packed_dev = self._post_fn(plan, class_threshold, n_classes)(
                 logits
             )
-            w = image.shape[1]
-
-            def resolve(packed_dev=packed_dev, w=w):
-                packed = np.asarray(packed_dev)
-                bits = packing.unpack_mask(packed, w)
-                if self.mode == "line":
-                    return (bits * 255).astype(np.uint8)
-                return (np.transpose(bits, (1, 2, 0)) * 255).astype(np.uint8)
-
-            resolvers.append(resolve)
+            resolvers.append(self._mask_resolver(packed_dev, image.shape[1]))
         return resolvers
 
 
@@ -447,6 +441,7 @@ class RecognitionEngine:
         batch_cfg: Optional[BatchConfig] = None,
         mesh: Optional[Mesh] = None,
         use_pallas: Optional[bool] = None,
+        pack_input: bool = True,
     ):
         self.model = model
         self.variables = variables
@@ -456,6 +451,13 @@ class RecognitionEngine:
         self.use_pallas = (
             pallas_kernels.pallas_enabled() if use_pallas is None else use_pallas
         )
+        # Binarize line canvases on host (cv2 — the reference's own op,
+        # inference.py:336-347) and upload packed bits: 8x less H2D. Unlike
+        # the detection-side trade this wins even on starved hosts — line
+        # canvases are small, so the host pays ~2ms/line to skip ~8x that
+        # in upload time. pack_input=False keeps binarize on device (the
+        # Pallas fused path).
+        self.pack_input = pack_input
         self._dp = mesh.shape[DATA_AXIS] if mesh is not None else 1
         if mesh is not None:
             self.variables = replicate_params(mesh, variables)
@@ -487,24 +489,40 @@ class RecognitionEngine:
         canvas = pad_ocr_line_host(img, bucket, self.config.input_height)
         # grayscale on host (bit-exact with the device op) so the H2D
         # transfer is 1 channel instead of 3
-        return cv2.cvtColor(canvas, cv2.COLOR_RGB2GRAY)
+        gray = cv2.cvtColor(canvas, cv2.COLOR_RGB2GRAY)
+        if not self.pack_input:
+            return gray
+        # host binarize (cv2 itself; binarize-then-gray == gray-then-
+        # binarize for the repeated-channel binarize, inference.py:336-347)
+        # so the canvas uploads as packed bits
+        from ocr_inference_tpu.core.config import BINARIZE_BLOCK, BINARIZE_C
+
+        return cv2.adaptiveThreshold(
+            gray, 255, cv2.ADAPTIVE_THRESH_GAUSSIAN_C, cv2.THRESH_BINARY,
+            BINARIZE_BLOCK, BINARIZE_C,
+        )
 
     def _forward_fn(self, batch: int, width: int, want_logits: bool):
         key = (batch, width, want_logits)
 
         def build():
-            def fn(variables, gray_u8):
-                # (B, H, W) uint8 gray canvas -> binarize -> [-1, 1]
-                # (reference line prep: pad -> binarize -> gray -> scale,
-                # inference.py:336-347; gray/binarize/gray collapses to
-                # gray -> adaptive threshold)
-                if self.use_pallas and pallas_kernels.line_kernel_applicable(
-                    gray_u8.shape[1], gray_u8.shape[2]
+            def fn(variables, inp):
+                # -> [-1, 1] (B, H, W) input (reference line prep:
+                # pad -> binarize -> gray -> scale, inference.py:336-347;
+                # gray/binarize/gray collapses to gray -> adaptive threshold)
+                if self.pack_input:
+                    # host already binarized; input is bit-packed int32
+                    bits = packing.unpack_bits_device(inp, width)
+                    x = bits.astype(jnp.float32) * 2.0 - 1.0
+                elif self.use_pallas and pallas_kernels.line_kernel_applicable(
+                    inp.shape[1], inp.shape[2]
                 ):
-                    bw = pallas_kernels.binarize_lines_pallas(gray_u8)
+                    # fused blur+threshold, one VMEM pass per line
+                    bw = pallas_kernels.binarize_lines_pallas(inp)
+                    x = bw.astype(jnp.float32) / 127.5 - 1.0
                 else:
-                    bw = jax.vmap(imaging.adaptive_threshold_gaussian)(gray_u8)
-                x = bw.astype(jnp.float32) / 127.5 - 1.0  # (B, H, W)
+                    bw = jax.vmap(imaging.adaptive_threshold_gaussian)(inp)
+                    x = bw.astype(jnp.float32) / 127.5 - 1.0
                 logits = self.model.apply(variables, x, train=False)
                 if want_logits:
                     return logits
@@ -551,6 +569,8 @@ class RecognitionEngine:
                 )
                 for i, (_, canvas) in enumerate(chunk):
                     arr[i] = canvas
+                if self.pack_input:
+                    arr = packing.pack_bits_host(arr)
                 yield width, b, [idx for idx, _ in chunk], arr
 
     # -- public API --

@@ -98,8 +98,10 @@ def test_recognition_engine_pallas_parity(page):
         rng.integers(0, 256, size=(60, w, 3), dtype=np.uint8)
         for w in (300, 900, 1800)
     ]
+    # pack_input=False so binarize actually runs on device — the packed
+    # upload path would bypass the kernel under test in both engines
     ref = RecognitionEngine(model, variables, cfg, batch_cfg=bc,
-                            use_pallas=False)
+                            use_pallas=False, pack_input=False)
     pal = RecognitionEngine(model, variables, cfg, batch_cfg=bc,
-                            use_pallas=True)
+                            use_pallas=True, pack_input=False)
     assert pal.run_batch(strips) == ref.run_batch(strips)

@@ -121,6 +121,29 @@ def test_detection_predict_many_parity(engines):
     assert det.predict_many_async([]) == []
 
 
+def test_recognition_packed_input_parity(engines):
+    """Packed-bits canvas upload must decode to the same texts and beams as
+    the on-device binarize path."""
+    _, rec = engines
+    rng = np.random.default_rng(5)
+    strips = [
+        rng.integers(0, 255, size=(40, w, 3), dtype=np.uint8)
+        for w in (300, 700, 950)
+    ]
+    was = rec.pack_input
+    try:
+        rec.pack_input = False
+        base_texts = rec.run_batch(strips)
+        base_beams = rec.run_batch_beams(strips, top_k=3)
+        rec.pack_input = True
+        assert rec.run_batch(strips) == base_texts
+        beams = rec.run_batch_beams(strips, top_k=3)
+        for a, b in zip(beams, base_beams):
+            assert [x.text for x in a] == [x.text for x in b]
+    finally:
+        rec.pack_input = was
+
+
 def test_pad_ocr_line_host_shapes():
     strip = np.full((40, 700, 3), 128, np.uint8)
     out = pad_ocr_line_host(strip, 2000, 80)

@@ -568,9 +568,14 @@ def _batch_norm(node, inputs):
     eps = node.attr("epsilon", 1e-5)
     spatial = np.ndim(x) - 2
     shape = (1, -1) + (1,) * spatial
-    inv = 1.0 / jnp.sqrt(var + eps)
-    return ((x - mean.reshape(shape)) * (scale * inv).reshape(shape)
-            + bias.reshape(shape),)
+    # fold to x*a + b with the statistics in f32 (stable even when the
+    # graph executes reduced-precision), applied in the activation dtype so
+    # a bf16 run stays bf16 end to end
+    f32 = jnp.float32
+    a = scale.astype(f32) / jnp.sqrt(var.astype(f32) + eps)
+    b = bias.astype(f32) - mean.astype(f32) * a
+    dt = jnp.asarray(x).dtype
+    return (x * a.reshape(shape).astype(dt) + b.reshape(shape).astype(dt),)
 
 
 @register("InstanceNormalization")

@@ -15,6 +15,7 @@ Two-phase execution model:
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 from typing import Iterable, Optional, Sequence
 
@@ -31,12 +32,25 @@ class OnnxGraphFunction:
 
     def __init__(self, model: Model,
                  input_names: Optional[Sequence[str]] = None,
-                 output_names: Optional[Sequence[str]] = None):
+                 output_names: Optional[Sequence[str]] = None,
+                 dtype: Optional[jnp.dtype] = None):
         self.model = model
         self.graph: Graph = model.graph
+        self.dtype = dtype
         all_weights = {
             name: t.to_numpy() for name, t in self.graph.initializers.items()
         }
+        if dtype is not None:
+            # reduced-precision execution (e.g. bfloat16 on the MXU): every
+            # float tensor — parameters AND folded constants — casts to the
+            # compute dtype so matmuls/convs don't silently promote back to
+            # f32 through a mixed operand. Outputs cast back to f32 at the
+            # module boundary (OnnxModule.apply).
+            all_weights = {
+                k: v.astype(dtype) if np.issubdtype(v.dtype, np.floating)
+                else v
+                for k, v in all_weights.items()
+            }
         # Integer/small initializers are shape plumbing (Reshape targets,
         # Slice indices, Squeeze axes, ...). They must stay host constants so
         # shape computations fold at trace time; float tensors are the real
@@ -140,11 +154,13 @@ class OnnxModule:
 
     def apply(self, variables, x, train: bool = False):
         del train
+        if self.fn.dtype is not None:
+            x = x.astype(self.fn.dtype)
         if self.layout == "nhwc->nchw":
             x = jnp.transpose(x, (0, 3, 1, 2))
             (out,) = self.fn(variables, x)
             # segmentation engines expect NHWC logits
-            return jnp.transpose(out, (0, 2, 3, 1))
+            return jnp.transpose(out, (0, 2, 3, 1)).astype(jnp.float32)
         if self.layout == "line":
             # engine provides (B, H, W)
             if self.swap_hw:
@@ -170,7 +186,7 @@ class OnnxModule:
             if self.vocab_size is not None and logits.shape[-1] != self.vocab_size:
                 if logits.shape[1] == self.vocab_size:
                     logits = jnp.transpose(logits, (0, 2, 1))
-            return logits
+            return logits.astype(jnp.float32)
         raise ValueError(f"unknown layout {self.layout}")
 
 
@@ -182,13 +198,23 @@ def load_onnx_module(
     swap_hw: bool = False,
     squeeze_channel: bool = True,
     vocab_size: Optional[int] = None,
+    dtype: Optional[jnp.dtype] = None,
 ) -> OnnxModule:
-    """Load an .onnx file into an engine-pluggable module."""
+    """Load an .onnx file into an engine-pluggable module.
+
+    ``dtype=jnp.bfloat16`` executes the imported graph in reduced precision
+    on the MXU (~2x conv/matmul throughput vs the f32 the exporter wrote);
+    outputs come back f32. Off by default — the CER-parity guarantee is
+    stated for f32 — and selectable per run via ``OCR_ONNX_BF16=1``
+    (pipeline/builder.py)."""
+    if dtype is None and os.environ.get("OCR_ONNX_BF16", "0") == "1":
+        dtype = jnp.bfloat16
     model = load_model(path)
     fn = OnnxGraphFunction(
         model,
         input_names=[input_layer] if input_layer else None,
         output_names=[output_layer] if output_layer else None,
+        dtype=dtype,
     )
     return OnnxModule(
         fn,

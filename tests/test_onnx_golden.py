@@ -141,6 +141,30 @@ def test_executor_matches_torch(exporter_model):
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
 
 
+def test_executor_bf16_mode(exporter_model):
+    """dtype=bfloat16: float tensors cast at load, compute runs reduced
+    precision, module outputs return f32 within bf16 tolerance of the f32
+    run."""
+    import jax.numpy as jnp
+
+    path, net = exporter_model
+    f32 = load_onnx_module(path, layout="nhwc->nchw")
+    b16 = load_onnx_module(path, layout="nhwc->nchw", dtype=jnp.bfloat16)
+    assert all(
+        w.dtype == jnp.bfloat16
+        for w in b16.fn.weights.values()
+        if np.issubdtype(np.asarray(w).dtype, np.floating)
+        or np.asarray(w).dtype == jnp.bfloat16
+    )
+    x = np.random.default_rng(1).normal(size=(2, 16, 16, 3)).astype(np.float32)
+    # this graph flattens spatial dims before the head, so apply via the
+    # raw graph function keeps shapes honest; compare the (B, 5) heads
+    got16 = np.asarray(b16.fn(b16.fn.weights, np.transpose(x, (0, 3, 1, 2)).astype(jnp.bfloat16))[0], dtype=np.float32)
+    got32 = np.asarray(f32.fn(f32.fn.weights, np.transpose(x, (0, 3, 1, 2)))[0])
+    np.testing.assert_allclose(got16, got32, rtol=0.05, atol=0.05)
+    assert got32.dtype == np.float32
+
+
 def test_executor_dynamic_batch(exporter_model):
     """dim_param axes: the same graph runs at several batch sizes."""
     path, net = exporter_model

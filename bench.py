@@ -113,7 +113,7 @@ def build(det_chunk: int = 32, per_line: bool = False, mesh=None):
     return OCRPipeline(rec, det)
 
 
-def run_volume(pipeline, pages, per_line: bool = False):
+def run_volume(pipeline, pages, per_line: bool = False, use_tps: bool = False):
     """Returns (pages/sec, lines/sec, stage_ms) over the volume (excluding
     warmup). stage_ms attributes the per-page wall time to
     detect / geometry / recognize (recognition overlaps the next window's
@@ -128,7 +128,7 @@ def run_volume(pipeline, pages, per_line: bool = False):
     from ocr_inference_tpu.core.data import OpStatus
 
     # warmup: one page populates every jit cache
-    status, res = pipeline.run_ocr(pages[0])
+    status, res = pipeline.run_ocr(pages[0], use_tps=use_tps)
     assert status == OpStatus.SUCCESS, res
 
     profile_dir = os.environ.get("OCR_BENCH_PROFILE")
@@ -149,7 +149,7 @@ def run_volume(pipeline, pages, per_line: bool = False):
     # warm the runner path over the FULL volume once: the timed region must
     # measure steady state, not the first-process compiles of every
     # (bucket, batch) shape the windows produce
-    runner.run([(f"w{i}", p) for i, p in enumerate(pages)])
+    runner.run([(f"w{i}", p) for i, p in enumerate(pages)], use_tps=use_tps)
 
     import contextlib
 
@@ -167,7 +167,9 @@ def run_volume(pipeline, pages, per_line: bool = False):
     with trace:
         for _ in range(2):
             start = time.perf_counter()
-            results = runner.run([(f"p{i}", p) for i, p in enumerate(pages)])
+            results = runner.run(
+                [(f"p{i}", p) for i, p in enumerate(pages)], use_tps=use_tps
+            )
             run_elapsed = time.perf_counter() - start
             elapsed = min(elapsed, run_elapsed)
     assert all(r.status == OpStatus.SUCCESS for r in results), [
@@ -180,6 +182,84 @@ def run_volume(pipeline, pages, per_line: bool = False):
             stage_ms[k] = stage_ms.get(k, 0.0) + v
     stage_ms = {k: round(v / len(results), 1) for k, v in stage_ms.items()}
     return len(pages) / elapsed, n_lines / elapsed, stage_ms
+
+
+def make_curved_volume(n_pages: int) -> list[np.ndarray]:
+    """Pages with sine-curved text bands so the TPS gate trips (curved if a
+    line's center-y spread across 5 probe slices exceeds the slice height,
+    dewarp/tps.py check_line_tps). BASELINE config 2 workload."""
+    rng = np.random.default_rng(7)
+    pages = []
+    xs = np.arange(PAGE_W - 200)
+    for _ in range(n_pages):
+        img = np.full((PAGE_H, PAGE_W, 3), 235, np.uint8)
+        noise = rng.integers(-12, 12, size=img.shape)
+        img = np.clip(img.astype(int) + noise, 0, 255).astype(np.uint8)
+        step = PAGE_H // (N_LINES + 1)
+        wave = (40 * np.sin(xs / (PAGE_W / 6.0))).astype(int)
+        for i in range(N_LINES):
+            y0 = step * (i + 1)
+            for dx, dy in zip(xs, wave):
+                img[y0 + dy : y0 + dy + 36, 100 + dx] = 45
+        pages.append(img)
+    return pages
+
+
+def run_single_stream(pipeline, pages) -> tuple[float, float]:
+    """BASELINE config 1: the reference CLI's one-page-at-a-time loop
+    (cli.py:113-139) on the TPU pipeline. Returns (pages/s, lines/s)."""
+    from ocr_inference_tpu.core.data import OpStatus
+
+    status, res = pipeline.run_ocr(pages[0])  # warm
+    assert status == OpStatus.SUCCESS, res
+    best = 0.0
+    n_lines = 0
+    for _ in range(2):
+        start = time.perf_counter()
+        n_lines = 0
+        for page in pages:
+            status, res = pipeline.run_ocr(page)
+            assert status == OpStatus.SUCCESS, res
+            n_lines += len(res[2])
+        elapsed = time.perf_counter() - start
+        best = max(best, len(pages) / elapsed)
+    return best, best * n_lines / len(pages)
+
+
+def run_modern_layout(n_pages: int, workdir: str) -> float:
+    """BASELINE config 3: ModernBookFormat layout detection over a page dir
+    (reference: inference.py:921-961). Returns pages/s."""
+    import cv2
+
+    from ocr_inference_tpu.core.data import LayoutDetectionConfig
+    from ocr_inference_tpu.pipeline.modern_layout import (
+        ModernBookFormatLayoutDetection,
+    )
+
+    rng = np.random.default_rng(11)
+    pages_dir = os.path.join(workdir, "pages")
+    out_dir = os.path.join(workdir, "layout_out")
+    os.makedirs(pages_dir, exist_ok=True)
+    for i in range(n_pages):
+        img = np.full((PAGE_H, PAGE_W, 3), 240, np.uint8)
+        img[60:140, 200:-200] = 70  # header band
+        img[-140:-60, 200:-200] = 70  # footer band
+        img += rng.integers(-8, 8, img.shape).astype(np.uint8)
+        cv2.imwrite(os.path.join(pages_dir, f"p{i:03d}.png"), img)
+
+    config = LayoutDetectionConfig(
+        checkpoint="", onnx_file="", architecture="deeplabv3plus",
+        patch_size=512,
+        classes=["background", "header", "footer", "text"],
+    )
+    det = ModernBookFormatLayoutDetection(config, allow_random=True)
+    det.run(pages_dir, out_dir, filter_classes=["header", "footer"])  # warm
+    best = 0.0
+    for _ in range(2):
+        start = time.perf_counter()
+        det.run(pages_dir, out_dir, filter_classes=["header", "footer"])
+        best = max(best, n_pages / (time.perf_counter() - start))
+    return best
 
 
 def measure_baseline() -> dict:
@@ -199,7 +279,18 @@ def measure_baseline() -> dict:
     }
 
 
-def main():
+def main(argv=None):
+    """Default (no args) = BASELINE config 4 (batched volume), the number
+    the driver records. --config 1/2/3/5 run the other BASELINE.md
+    configurations: single-stream CLI-style, dewarped volume, modern
+    layout, and the data-parallel mesh sweep."""
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=int, default=4, choices=[1, 2, 3, 4, 5])
+    parser.add_argument("--pages", type=int, default=N_PAGES)
+    args = parser.parse_args(argv)
+
     from ocr_inference_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
@@ -216,37 +307,59 @@ def main():
 
     probe_pallas(timeout_s=900)
 
-    # data-parallel mesh over every available device (BASELINE config 5);
-    # on the single-chip bench host this is a trivial 1-device mesh, so the
-    # sharded path is exercised either way
     import jax
 
-    mesh = None
     n_dev = len(jax.devices())
-    if n_dev > 1:
-        from ocr_inference_tpu.parallel import make_mesh
-
-        mesh = make_mesh()
-
-    pipeline = build(mesh=mesh)
-    pages = make_volume(N_PAGES)
-    pps, lps, stage_ms = run_volume(pipeline, pages)
-
     result = {
-        "metric": "pages_per_sec_end_to_end",
-        "value": round(pps, 3),
         "unit": "pages/s",
-        "vs_baseline": round(pps / baseline["pages_per_sec"], 2),
-        "lines_per_sec": round(lps, 1),
         "baseline_pages_per_sec": round(baseline["pages_per_sec"], 4),
-        "pages": N_PAGES,
+        "pages": args.pages,
         "page_shape": [PAGE_H, PAGE_W],
         "devices": n_dev,
-        "mesh": dict(mesh.shape) if mesh is not None else None,
         "pallas": pallas_enabled(),
         "timed_runs": 2,
-        "stage_ms_per_page": stage_ms,
+        "config": args.config,
     }
+
+    if args.config == 1:
+        pipeline = build()
+        pps, lps = run_single_stream(pipeline, make_volume(args.pages))
+        result.update(metric="pages_per_sec_single_stream",
+                      lines_per_sec=round(lps, 1))
+    elif args.config == 2:
+        pipeline = build()
+        pps, lps, stage_ms = run_volume(
+            pipeline, make_curved_volume(args.pages), use_tps=True
+        )
+        result.update(metric="pages_per_sec_dewarped",
+                      lines_per_sec=round(lps, 1),
+                      stage_ms_per_page=stage_ms, tps=True)
+    elif args.config == 3:
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as workdir:
+            pps = run_modern_layout(args.pages, workdir)
+        result.update(metric="pages_per_sec_modern_layout")
+    else:
+        # config 4 (volume) / 5 (data-parallel mesh sweep). Config 5 builds
+        # the mesh unconditionally; config 4 only when several devices
+        # exist (a 1-device mesh still exercises the sharded code path).
+        mesh = None
+        if args.config == 5 or n_dev > 1:
+            from ocr_inference_tpu.parallel import make_mesh
+
+            mesh = make_mesh()
+        pipeline = build(mesh=mesh)
+        pps, lps, stage_ms = run_volume(pipeline, make_volume(args.pages))
+        result.update(
+            metric="pages_per_sec_end_to_end",
+            lines_per_sec=round(lps, 1),
+            mesh=dict(mesh.shape) if mesh is not None else None,
+            stage_ms_per_page=stage_ms,
+        )
+
+    result["value"] = round(pps, 3)
+    result["vs_baseline"] = round(pps / baseline["pages_per_sec"], 2)
     print(json.dumps(result))
     return 0
 

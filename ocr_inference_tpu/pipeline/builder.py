@@ -40,6 +40,8 @@ from ocr_inference_tpu.pipeline.ocr_pipeline import OCRPipeline
 
 def _find_weights(model_file: str) -> Optional[Path]:
     """Locate native weights next to the configured model file."""
+    if not model_file:
+        return None
     p = Path(model_file)
     candidates = [
         p.with_suffix(".msgpack"),

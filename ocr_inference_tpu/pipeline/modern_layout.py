@@ -98,9 +98,9 @@ class ModernBookFormatLayoutDetection:
     ):
         """Process every image in directory (reference: inference.py:921-961).
 
-        batch_size is kept for surface parity; page batching happens at the
-        tile level inside the engine.
-        """
+        Pages run through the many-pages-one-tensor detection path in
+        batch_size groups (the reference's DataLoader batching,
+        inference.py:932-947)."""
         if filter_classes:
             for f_class in filter_classes:
                 if f_class not in self.classes:
@@ -124,11 +124,25 @@ class ModernBookFormatLayoutDetection:
 
         results = {}
         with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            batch: list[tuple[str, np.ndarray]] = []
+
+            def flush():
+                resolvers = self.engine.predict_many_async(
+                    [im for _, im in batch], class_threshold=class_threshold
+                )
+                for (path, _), resolve in zip(batch, resolvers):
+                    results[path] = self.extract_json_data(
+                        os.path.basename(path), resolve(), filter_classes,
+                        output_dir,
+                    )
+                batch.clear()
+
             for path, img in pool.map(load, paths):
                 if img is None:
                     continue
-                pred = self.engine.predict(img, class_threshold=class_threshold)
-                results[path] = self.extract_json_data(
-                    os.path.basename(path), pred, filter_classes, output_dir
-                )
+                batch.append((path, img))
+                if len(batch) >= max(1, batch_size):
+                    flush()
+            if batch:
+                flush()
         return results

@@ -1,0 +1,50 @@
+"""Smoke the bench harness's BASELINE configurations on the CPU mesh.
+
+Shrinks the synthetic page geometry so CPU UNet forwards stay fast; the
+real-chip numbers come from the driver running bench.py unmodified.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def bench_mod(monkeypatch_module=None):
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    old = (bench.N_PAGES, bench.PAGE_H, bench.PAGE_W, bench.N_LINES)
+    bench.N_PAGES, bench.PAGE_H, bench.PAGE_W, bench.N_LINES = 2, 600, 1100, 3
+    yield bench
+    bench.N_PAGES, bench.PAGE_H, bench.PAGE_W, bench.N_LINES = old
+
+
+def test_make_volumes(bench_mod):
+    flat = bench_mod.make_volume(1)[0]
+    curved = bench_mod.make_curved_volume(1)[0]
+    assert flat.shape == curved.shape == (600, 1100, 3)
+    assert not (flat == curved).all()
+
+
+def test_config1_single_stream(bench_mod):
+    pipeline = bench_mod.build(det_chunk=8)
+    pps, lps = bench_mod.run_single_stream(pipeline, bench_mod.make_volume(2))
+    assert pps > 0 and lps > 0
+
+
+def test_config2_dewarped_volume(bench_mod):
+    pipeline = bench_mod.build(det_chunk=8)
+    pps, lps, stage_ms = bench_mod.run_volume(
+        pipeline, bench_mod.make_curved_volume(2), use_tps=True
+    )
+    assert pps > 0
+    assert "detect" in stage_ms
+
+
+def test_config3_modern_layout(bench_mod, tmp_path):
+    pps = bench_mod.run_modern_layout(2, str(tmp_path))
+    assert pps > 0
+    out = list((tmp_path / "layout_out").glob("*.json"))
+    assert len(out) == 2

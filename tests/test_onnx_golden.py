@@ -141,6 +141,21 @@ def test_executor_matches_torch(exporter_model):
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
 
 
+def test_inspect_cli(exporter_model, capsys):
+    """bocr-inspect prints graph I/O and ops (DebugOnnx.ipynb parity)."""
+    from ocr_inference_tpu.cli.inspect_onnx_cli import main as inspect_main
+
+    path, _ = exporter_model
+    assert inspect_main([str(path), "--nodes"]) == 0
+    out = capsys.readouterr().out
+    assert "opset: 13" in out
+    assert "input: f32[batch,3,16,16]" in out.replace("'", "")
+    assert "Convx2" in out
+    assert "[0] Conv" in out
+    # initializers listed as graph inputs must not appear as feeds
+    assert "inputs (1):" in out
+
+
 def test_executor_bf16_mode(exporter_model):
     """dtype=bfloat16: float tensors cast at load, compute runs reduced
     precision, module outputs return f32 within bf16 tolerance of the f32

@@ -43,6 +43,9 @@ def main(argv=None) -> int:
 
     enable_compilation_cache()
     model = import_local_model(args.model)
+    if model is None:
+        print(f"Not a model directory (no model_config.json): {args.model}")
+        return 1
     line_cfg = (
         read_line_model_config(args.line_model)
         if args.line_model
@@ -78,7 +81,15 @@ def main(argv=None) -> int:
     )
 
     def loader(path):
-        return lambda: cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+        def load():
+            img = cv2.imread(path)
+            # None keeps per-page isolation: VolumeRunner records a
+            # "load failed" page instead of the future raising
+            return None if img is None else cv2.cvtColor(
+                img, cv2.COLOR_BGR2RGB
+            )
+
+        return load
 
     text_exp = TextExporter(args.output)
     xml_exp = PageXMLExporter(args.output)
@@ -93,8 +104,10 @@ def main(argv=None) -> int:
             continue
         image = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
         name = os.path.splitext(rec.name)[0]
-        text_exp.export_lines(image, name, rec.lines, rec.ocr_lines, rec.angle)
-        xml_exp.export_lines(image, name, rec.lines, rec.ocr_lines, rec.angle)
+        text_exp.export_lines(image, name, rec.lines, rec.ocr_lines,
+                              angle=rec.angle)
+        xml_exp.export_lines(image, name, rec.lines, rec.ocr_lines,
+                             angle=rec.angle)
         print(f"{rec.name}: {len(rec.ocr_lines)} lines")
     return 0
 

@@ -57,9 +57,15 @@ def main(argv=None) -> int:
     )
     start = time.perf_counter()
     for i in range(0, len(paths), max(1, args.batch_size)):
-        batch = paths[i : i + max(1, args.batch_size)]
+        loaded = [(p, cv2.imread(p)) for p in paths[i : i + max(1, args.batch_size)]]
+        for p, img in loaded:
+            if img is None:
+                print(f"Failed to load image: {p}")
+        batch = [p for p, img in loaded if img is not None]
         images = [
-            cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB) for p in batch
+            cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+            for _, img in loaded
+            if img is not None
         ]
         for path, image, resolve in zip(
             batch, images, engine.predict_many_async(images)

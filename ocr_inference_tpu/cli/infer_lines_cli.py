@@ -107,29 +107,17 @@ def main(argv=None):
         # run through the many-pages-one-tensor path in -b sized groups, so
         # forward chunks fill completely across page boundaries (reference:
         # the DataLoader collate + infer_batch pattern, utils.py:1142-1237)
-        def batched_masks():
-            batch: list[tuple[str, object]] = []
-
-            def flush():
-                resolvers = engine.predict_many_async(
-                    [img for _, img in batch],
-                    class_threshold=args.class_threshold,
-                )
-                for (p, img), resolve in zip(batch, resolvers):
-                    yield p, img, resolve()
-                batch.clear()
-
+        def loaded():
             for path, img in pool.map(_load_image, paths):
                 if img is None:
                     print(f"Failed to load image: {path}")
                     continue
-                batch.append((path, img))
-                if len(batch) >= max(1, args.batch_size):
-                    yield from flush()
-            if batch:
-                yield from flush()
+                yield path, img
 
-        for path, img, mask in batched_masks():
+        for path, img, mask in engine.predict_many_batched(
+            loaded(), batch_size=args.batch_size,
+            class_threshold=args.class_threshold,
+        ):
             contours = get_contours(mask)
             result = {
                 "image_name": os.path.basename(path),

@@ -243,13 +243,15 @@ class SegmentationEngine:
     def _run_tiles(self, tiles: jax.Array) -> jax.Array:
         """Forward all tiles in fixed-size chunks.
 
-        Pages that fit one chunk run at their EXACT tile count (volumes are
-        shape-homogeneous, so this still compiles once per geometry and a
-        24-tile page no longer pays for 8 tiles of padding); multi-chunk
-        pages use the configured tile_chunk so the set of compiled shapes
-        stays bounded."""
+        Single-chunk pages round their tile count up to a multiple of 8:
+        the common whole-page counts (8/16/24/32) run EXACT — a 24-tile
+        page pays zero padding, where next-pow2 rounding padded it to 32 —
+        while heterogeneous volumes compile at most tile_chunk/8 forward
+        shapes (first compiles over slow transports cost minutes each, so
+        one-shape-per-distinct-page-size would be pathological).
+        Multi-chunk pages use the configured tile_chunk."""
         n = tiles.shape[0]
-        chunk = n if n <= self.tile_chunk else self.tile_chunk
+        chunk = min(-(-n // 8) * 8, self.tile_chunk)
         if self.mesh is not None:
             dp = self.mesh.shape[DATA_AXIS]
             chunk = -(-chunk // dp) * dp
@@ -370,6 +372,32 @@ class SegmentationEngine:
             )
             resolvers.append(self._mask_resolver(packed_dev, image.shape[1]))
         return resolvers
+
+    def predict_many_batched(
+        self,
+        items,
+        batch_size: int = 4,
+        class_threshold: float | None = None,
+    ):
+        """Generator over (key, image) pairs yielding (key, image, mask),
+        grouping pages into batch_size-sized predict_many_async calls —
+        the accumulate/flush loop shared by the bulk CLIs."""
+        batch: list = []
+
+        def flush():
+            resolvers = self.predict_many_async(
+                [img for _, img in batch], class_threshold=class_threshold
+            )
+            for (key, img), resolve in zip(batch, resolvers):
+                yield key, img, resolve()
+            batch.clear()
+
+        for key, image in items:
+            batch.append((key, image))
+            if len(batch) >= max(1, batch_size):
+                yield from flush()
+        if batch:
+            yield from flush()
 
 
 # ---------------------------------------------------------------------------

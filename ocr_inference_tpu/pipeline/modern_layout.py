@@ -124,25 +124,15 @@ class ModernBookFormatLayoutDetection:
 
         results = {}
         with ThreadPoolExecutor(max_workers=num_workers) as pool:
-            batch: list[tuple[str, np.ndarray]] = []
-
-            def flush():
-                resolvers = self.engine.predict_many_async(
-                    [im for _, im in batch], class_threshold=class_threshold
+            loaded = (
+                (path, img)
+                for path, img in pool.map(load, paths)
+                if img is not None
+            )
+            for path, _, pred in self.engine.predict_many_batched(
+                loaded, batch_size=batch_size, class_threshold=class_threshold
+            ):
+                results[path] = self.extract_json_data(
+                    os.path.basename(path), pred, filter_classes, output_dir
                 )
-                for (path, _), resolve in zip(batch, resolvers):
-                    results[path] = self.extract_json_data(
-                        os.path.basename(path), resolve(), filter_classes,
-                        output_dir,
-                    )
-                batch.clear()
-
-            for path, img in pool.map(load, paths):
-                if img is None:
-                    continue
-                batch.append((path, img))
-                if len(batch) >= max(1, batch_size):
-                    flush()
-            if batch:
-                flush()
         return results

@@ -271,7 +271,9 @@ class VolumeRunner:
             # reference runs every stage back to back (cli.py:113-139).
             geo_pool = ThreadPoolExecutor(max_workers=self.geometry_workers)
             inflight: deque = deque()
-            depth = self.geometry_workers + 1
+            # distinct from the decode lookahead 'depth' above — rebinding
+            # that one would silently cap the loader queue by worker count
+            geo_depth = self.geometry_workers + 1
 
             def process(fut):
                 nonlocal window
@@ -307,7 +309,7 @@ class VolumeRunner:
                             bbox_tolerance=bbox_tolerance,
                         )
                     inflight.append(fut)
-                    while len(inflight) > depth:
+                    while len(inflight) > geo_depth:
                         process(inflight.popleft())
                 while inflight:
                     process(inflight.popleft())

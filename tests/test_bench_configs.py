@@ -5,14 +5,15 @@ real-chip numbers come from the driver running bench.py unmodified.
 """
 
 import sys
+from pathlib import Path
 
 import numpy as np
 import pytest
 
 
 @pytest.fixture(scope="module")
-def bench_mod(monkeypatch_module=None):
-    sys.path.insert(0, "/root/repo")
+def bench_mod():
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     import bench
 
     old = (bench.N_PAGES, bench.PAGE_H, bench.PAGE_W, bench.N_LINES)

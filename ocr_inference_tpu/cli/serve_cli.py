@@ -1,0 +1,141 @@
+"""Warm-pipeline OCR service: JSONL requests on stdin, JSONL results on stdout.
+
+Production serving surface with no reference equivalent (the reference's
+only entry points are one-shot CLIs and notebooks, cli.py:19-162): the
+pipeline loads once, every jit program stays warm, and requests stream
+through the same batched VolumeRunner path the bulk CLI uses — so a
+steady request stream gets cross-page line batching and detect/geometry
+overlap, not page-at-a-time latency.
+
+Protocol (one JSON object per line):
+  request:  {"image": "/path/page.jpg"}            # or {"images": [...]}
+  response: {"image": ..., "status": "success", "angle": 0.3,
+             "lines": [{"text": ..., "bbox": [x, y, w, h]}, ...]}
+  errors:   {"image": ..., "status": "failed", "error": "..."}
+
+A blank line or EOF ends the session. Example:
+  printf '%s\n' '{"image": "page.jpg"}' | bocr-serve --model Models/Woodblock
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import cv2
+
+from ocr_inference_tpu.core.assets import (
+    import_local_model,
+    read_layout_model_config,
+    read_line_model_config,
+)
+from ocr_inference_tpu.core.data import Encoding, OpStatus
+from ocr_inference_tpu.pipeline.builder import build_pipeline, default_line_config
+from ocr_inference_tpu.pipeline.volume import VolumeRunner
+from ocr_inference_tpu.utils import enable_compilation_cache
+
+
+def _record_to_json(rec) -> dict:
+    if rec.status != OpStatus.SUCCESS:
+        return {"image": rec.name, "status": "failed", "error": rec.error}
+    lines = []
+    for line, ocr_line in zip(rec.lines, rec.ocr_lines):
+        x, y, w, h = line.bbox.x, line.bbox.y, line.bbox.w, line.bbox.h
+        lines.append({"text": ocr_line.text, "bbox": [x, y, w, h]})
+    return {
+        "image": rec.name,
+        "status": "success",
+        "angle": rec.angle,
+        "lines": lines,
+    }
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        description="Serve OCR over stdin/stdout JSONL with a warm pipeline"
+    )
+    parser.add_argument("--model", required=True, help="OCR model directory")
+    parser.add_argument("--line-model", help="Line/layout model config JSON")
+    parser.add_argument("--line-mode", choices=["line", "layout"],
+                        default="line")
+    parser.add_argument("--encoding", choices=["unicode", "wylie"],
+                        default="unicode")
+    parser.add_argument("--dewarp", action="store_true")
+    parser.add_argument("--k-factor", type=float, default=2.5)
+    parser.add_argument("--bbox-tolerance", type=float, default=4.0)
+    parser.add_argument("--window-pages", type=int, default=4,
+                        help="Pages batched per recognition window (smaller "
+                             "= lower latency, larger = higher throughput)")
+    parser.add_argument("--allow-random-weights", action="store_true")
+    args = parser.parse_args(argv)
+
+    enable_compilation_cache()
+    model = import_local_model(args.model)
+    if model is None:
+        print(json.dumps({"status": "failed",
+                          "error": f"not a model dir: {args.model}"}))
+        return 1
+    if args.line_model:
+        reader = (
+            read_line_model_config
+            if args.line_mode == "line"
+            else read_layout_model_config
+        )
+        line_cfg = reader(args.line_model)
+    else:
+        line_cfg = default_line_config()
+    pipeline = build_pipeline(
+        model.config, line_cfg, allow_random=args.allow_random_weights
+    )
+    runner = VolumeRunner(pipeline, window_pages=max(1, args.window_pages))
+    encoding = (
+        Encoding.WYLIE if args.encoding == "wylie" else Encoding.UNICODE
+    )
+
+    def emit(rec):
+        print(json.dumps(_record_to_json(rec), ensure_ascii=False),
+              flush=True)
+
+    def load(path):
+        def _load():
+            img = cv2.imread(path)
+            return None if img is None else cv2.cvtColor(
+                img, cv2.COLOR_BGR2RGB
+            )
+
+        return _load
+
+    # one runner.run per request line: a single-image request answers
+    # immediately (nothing waits on further stdin), a multi-image request
+    # flows through the batched volume path; engines + jit caches stay warm
+    # across requests
+    for raw in sys.stdin:
+        raw = raw.strip()
+        if not raw:
+            break
+        try:
+            req = json.loads(raw)
+        except json.JSONDecodeError as e:
+            print(json.dumps({"status": "failed",
+                              "error": f"bad request: {e}"}), flush=True)
+            continue
+        paths = [p for p in (req.get("images") or [req.get("image")]) if p]
+        if not paths:
+            print(json.dumps({"status": "failed",
+                              "error": "no 'image' or 'images' in request"}),
+                  flush=True)
+            continue
+        runner.run(
+            [(p, load(p)) for p in paths],
+            target_encoding=encoding,
+            use_tps=args.dewarp,
+            k_factor=args.k_factor,
+            bbox_tolerance=args.bbox_tolerance,
+            on_page_done=emit,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,58 @@
+"""JSONL serving loop: protocol, per-request responses, error isolation."""
+
+import io
+import json
+
+import cv2
+import numpy as np
+
+from ocr_inference_tpu.cli.serve_cli import main
+
+
+def _model_dir(tmp_path):
+    d = tmp_path / "model"
+    d.mkdir()
+    cfg = {
+        "onnx-model": "ocr.onnx", "architecture": "Easter2", "version": "1",
+        "input_width": 512, "input_height": 80, "input_layer": "input",
+        "output_layer": "output", "encoder": "wylie",
+        "squeeze_channel_dim": "yes", "swap_hw": "no",
+        "charset": "kg'abcdefh", "add_blank": "yes",
+    }
+    (d / "model_config.json").write_text(json.dumps(cfg))
+    return d
+
+
+def test_serve_jsonl_protocol(tmp_path, monkeypatch, capsys):
+    model_dir = _model_dir(tmp_path)
+    page = tmp_path / "page.png"
+    cv2.imwrite(str(page), np.full((600, 900, 3), 230, np.uint8))
+
+    requests = "\n".join([
+        json.dumps({"image": str(page)}),
+        "not json",
+        json.dumps({"wrong": "key"}),
+        json.dumps({"images": [str(page), str(tmp_path / "missing.png")]}),
+    ]) + "\n"
+    monkeypatch.setattr("sys.stdin", io.StringIO(requests))
+
+    rc = main([
+        "--model", str(model_dir),
+        "--allow-random-weights",
+        "--window-pages", "1",
+    ])
+    assert rc == 0
+    out_lines = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    # 1 page + 1 bad-json error + 1 bad-request error + 2 batch pages
+    assert len(out_lines) == 5
+    assert out_lines[0]["image"] == str(page)
+    assert out_lines[0]["status"] in ("success", "failed")
+    assert "bad request" in out_lines[1]["error"]
+    assert "no 'image'" in out_lines[2]["error"]
+    # the missing file fails in isolation; the good page still answers
+    statuses = {r["image"]: r["status"] for r in out_lines[3:]}
+    assert statuses[str(tmp_path / "missing.png")] == "failed"
+    assert str(page) in statuses

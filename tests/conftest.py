@@ -25,6 +25,16 @@ import pytest
 CPU_DEVICES = jax.local_devices(backend="cpu")
 jax.config.update("jax_default_device", CPU_DEVICES[0])
 
+# Persistent XLA cache (separate from the TPU one): CPU compiles of the
+# UNet/DeepLab/Easter2 test shapes dominate suite wall time; warm runs
+# fetch them in milliseconds.
+from ocr_inference_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(
+    os.environ.get("OCR_TEST_COMPILE_CACHE",
+                   os.path.expanduser("~/.cache/ocr_tpu_xla_tests"))
+)
+
 
 @pytest.fixture(scope="session")
 def cpu_devices():

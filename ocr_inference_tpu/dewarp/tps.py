@@ -24,6 +24,8 @@ import numpy as np
 from ocr_inference_tpu.ops.imaging import remap
 
 
+
+
 # ---------------------------------------------------------------------------
 # TPS fit + evaluation
 # ---------------------------------------------------------------------------
@@ -124,15 +126,30 @@ def run_tps(
         dst = np.concatenate([dst, corners])
 
     control, weights, affine = fit_tps(src, dst, alpha)
-    map_y, map_x = _tps_grid_device(
+    warped = _warp_one(
+        jnp.asarray(img),
         jnp.asarray(control, jnp.float32),
         jnp.asarray(weights, jnp.float32),
         jnp.asarray(affine, jnp.float32),
-        h,
-        w,
     )
-    warped = remap(jnp.asarray(img), map_y, map_x)
     return np.asarray(warped)
+
+
+@jax.jit
+def _warp_one(img, control, weights, affine):
+    h, w = img.shape[0], img.shape[1]
+    map_y, map_x = _tps_grid_device(control, weights, affine, h, w)
+    return remap(img, map_y, map_x)
+
+
+@jax.jit
+def _warp_pair(img, mask, control, weights, affine):
+    """One program for the page+mask pair: the TPS grid — the expensive
+    (H, W, N) kernel evaluation — is computed once and both arrays sample
+    it (apply_global_tps previously evaluated it twice)."""
+    h, w = img.shape[0], img.shape[1]
+    map_y, map_x = _tps_grid_device(control, weights, affine, h, w)
+    return remap(img, map_y, map_x), remap(mask, map_y, map_x)
 
 
 # ---------------------------------------------------------------------------
@@ -236,9 +253,33 @@ def apply_global_tps(
     input_pts = line_data[best_idx]["input_pts"]
     if input_pts is None or output_pts is None:
         raise ValueError("input_pts and output_pts must not be None when tps is True")
-    warped_img = run_tps(image, output_pts, input_pts)
-    warped_mask = run_tps(line_mask, output_pts, input_pts)
-    return warped_img, warped_mask
+
+    img = np.asarray(image)
+    if img.ndim == 2:
+        img = cv2.cvtColor(img, cv2.COLOR_GRAY2RGB)
+    mask = np.asarray(line_mask)
+    if mask.ndim == 3:
+        # channels are replicated binarization output; warp one and let the
+        # consumer's 2-D path skip its RGB->gray conversion (same values,
+        # a third of the transfer)
+        mask = mask[..., 0]
+    h, w = img.shape[:2]
+    src = np.asarray(output_pts, dtype=np.float64)
+    dst = np.asarray(input_pts, dtype=np.float64)
+    corners = np.array(
+        [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 1.0]], dtype=np.float64
+    ) * [h, w]
+    control, weights, affine = fit_tps(
+        np.concatenate([src, corners]), np.concatenate([dst, corners])
+    )
+    warped_img, warped_mask = _warp_pair(
+        jnp.asarray(img),
+        jnp.asarray(mask),
+        jnp.asarray(control, jnp.float32),
+        jnp.asarray(weights, jnp.float32),
+        jnp.asarray(affine, jnp.float32),
+    )
+    return np.asarray(warped_img), np.asarray(warped_mask)
 
 
 def get_line_images_via_local_tps(

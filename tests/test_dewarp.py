@@ -73,7 +73,10 @@ def test_apply_global_tps_straightens():
     _, line_data = T.check_for_tps(img, contours)
     warped_img, warped_mask = T.apply_global_tps(img, mask, line_data)
     assert warped_img.shape == img.shape
-    gray = cv2.cvtColor(warped_mask.astype(np.uint8), cv2.COLOR_RGB2GRAY)
+    # single-channel warped mask (the pair-warp samples one replicated
+    # channel; consumers take the 2-D path)
+    gray = warped_mask.astype(np.uint8)
+    assert gray.ndim == 2
     new_contours = [c for c in G.get_contours(gray) if cv2.contourArea(c) > 100]
     assert new_contours, "line must survive the warp"
     # curvature after dewarp must be much smaller than before

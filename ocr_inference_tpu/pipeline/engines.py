@@ -507,6 +507,8 @@ class RecognitionEngine:
 
     def _prepare_host(self, line_image: np.ndarray, pre_pad: bool) -> np.ndarray:
         img = line_image
+        if img.ndim == 3 and img.shape[2] == 1:
+            img = img[..., 0]  # strips cut from grayscale pages
         if img.ndim == 2:
             img = cv2.cvtColor(img, cv2.COLOR_GRAY2RGB)
         if pre_pad:

@@ -72,11 +72,12 @@ def test_apply_global_tps_straightens():
     contours = list(G.get_contours(mask))
     _, line_data = T.check_for_tps(img, contours)
     warped_img, warped_mask = T.apply_global_tps(img, mask, line_data)
-    assert warped_img.shape == img.shape
-    # single-channel warped mask (the pair-warp samples one replicated
-    # channel; consumers take the 2-D path)
+    # warped page travels back grayscale, warped mask as thresholded bits
+    # (the D2H-minimizing contract; every consumer is gray/binary-ready)
+    assert warped_img.shape == img.shape[:2]
     gray = warped_mask.astype(np.uint8)
     assert gray.ndim == 2
+    assert set(np.unique(gray)) <= {0, 255}
     new_contours = [c for c in G.get_contours(gray) if cv2.contourArea(c) > 100]
     assert new_contours, "line must survive the warp"
     # curvature after dewarp must be much smaller than before

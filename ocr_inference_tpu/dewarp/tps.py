@@ -271,8 +271,11 @@ def apply_global_tps(
         raise ValueError("input_pts and output_pts must not be None when tps is True")
 
     img = np.asarray(image)
-    if img.ndim == 2:
-        img = cv2.cvtColor(img, cv2.COLOR_GRAY2RGB)
+    if img.ndim == 3:
+        # the warped page returns grayscale either way (see _warp_pair);
+        # converting on host BEFORE upload (bit-exact cv2 op) makes the
+        # transfer and the remap a third of the RGB cost
+        img = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
     mask = np.asarray(line_mask)
     if mask.ndim == 3:
         # channels are replicated binarization output; warp one and let the

@@ -1,4 +1,5 @@
-"""CTC fine-tuning (training is a new capability over the reference)."""
+"""Training (a new capability over the reference): CTC fine-tuning for
+recognizers and BCE+dice tile training for segmentation nets."""
 
 from ocr_inference_tpu.training.train import (  # noqa: F401
     TrainState,
@@ -7,4 +8,10 @@ from ocr_inference_tpu.training.train import (  # noqa: F401
     make_optimizer,
     make_train_step,
     synthetic_ctc_batch,
+)
+from ocr_inference_tpu.training.segmentation import (  # noqa: F401
+    init_seg_train_state,
+    make_seg_train_step,
+    seg_loss_fn,
+    synthetic_seg_batch,
 )

@@ -24,6 +24,31 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 @jax.jit
+def greedy_decode_packed(logits: jax.Array, blank: int = 0) -> jax.Array:
+    """greedy_decode with the three outputs packed into ONE (B, T+2) int32
+    array (row = [ids..., length, conf_bits]) so the host pays a single
+    D2H round trip instead of three (each small transfer costs ~30ms of
+    latency on detached transports). Unpack with unpack_greedy_host."""
+    ids, lengths, conf = greedy_decode(logits, blank)
+    conf_bits = jax.lax.bitcast_convert_type(
+        conf.astype(jnp.float32), jnp.int32
+    )
+    return jnp.concatenate(
+        [ids, lengths[:, None], conf_bits[:, None]], axis=1
+    )
+
+
+def unpack_greedy_host(packed: "np.ndarray"):
+    """Host inverse of greedy_decode_packed -> (ids, lengths, conf)."""
+    import numpy as np
+
+    arr = np.asarray(packed)
+    ids = arr[:, :-2]
+    lengths = arr[:, -2]
+    conf = arr[:, -1:].view(np.float32)[:, 0]
+    return ids, lengths, conf
+
+
 def greedy_decode(logits: jax.Array, blank: int = 0):
     """Vectorized CTC best-path collapse.
 

@@ -39,7 +39,10 @@ from ocr_inference_tpu.core.data import (
     LineDetectionConfig,
     OCRModelConfig,
 )
-from ocr_inference_tpu.decode.ctc import greedy_decode
+from ocr_inference_tpu.decode.ctc import (
+    greedy_decode_packed,
+    unpack_greedy_host,
+)
 from ocr_inference_tpu.decode.decoder import CTCDecoder
 from ocr_inference_tpu.ops import imaging, packing, pallas_kernels, tiling
 from ocr_inference_tpu.parallel.mesh import (
@@ -556,7 +559,8 @@ class RecognitionEngine:
                 logits = self.model.apply(variables, x, train=False)
                 if want_logits:
                     return logits
-                return greedy_decode(logits)
+                # one packed (B, T+2) output = one D2H round trip
+                return greedy_decode_packed(logits)
 
             if self.mesh is not None:
                 # DP: line batch split over the data axis via an internal
@@ -617,9 +621,9 @@ class RecognitionEngine:
         texts: dict[int, str] = {}
         for width, b, idxs, arr in self._batch_iter(prepared):
             fn = self._forward_fn(b, width, want_logits=False)
-            ids, lengths, conf = fn(self.variables, arr)
-            ids = np.asarray(ids)
-            lengths = np.asarray(lengths)
+            ids, lengths, _ = unpack_greedy_host(
+                np.asarray(fn(self.variables, arr))
+            )
             from ocr_inference_tpu.decode.ctc import ids_to_tokens
 
             for row, idx in enumerate(idxs):

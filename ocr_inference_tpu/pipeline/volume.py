@@ -227,7 +227,10 @@ class VolumeRunner:
         def materialize(item):
             name, img = item
             if callable(img):
-                img = img()
+                try:
+                    img = img()
+                except Exception:  # loader isolation: bad file != dead volume
+                    img = None
             return name, img
 
         def emit(recs: list[PageRecord]):

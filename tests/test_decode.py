@@ -139,3 +139,20 @@ def test_decoder_from_kenlm_config(tmp_path):
     cfg_bad = KenLMConfig(kenlm_file="/nope", arpa_file="/nope", unigrams=None)
     dec2 = CTCDecoder(charset=["a"], add_blank=True, kenlm_config=cfg_bad)
     assert not dec2.has_lm
+
+
+def test_greedy_decode_packed_round_trip():
+    from ocr_inference_tpu.decode.ctc import (
+        greedy_decode_packed,
+        unpack_greedy_host,
+    )
+
+    rng = np.random.default_rng(9)
+    logits = rng.normal(size=(4, 20, 7)).astype(np.float32)
+    ids, lengths, conf = greedy_decode(logits)
+    p_ids, p_lengths, p_conf = unpack_greedy_host(
+        np.asarray(greedy_decode_packed(logits))
+    )
+    assert (np.asarray(ids) == p_ids).all()
+    assert (np.asarray(lengths) == p_lengths).all()
+    np.testing.assert_allclose(np.asarray(conf), p_conf, rtol=0, atol=0)

@@ -97,6 +97,43 @@ def test_detection_engine_masks_lines(engines):
     assert mask[30, 600] == 0
 
 
+def test_full_pipeline_layout_mode(engines):
+    """run_ocr with a LAYOUT detector: stage 1 slices the "line" channel
+    (reference: inference.py:504) and the rest of the pipeline proceeds."""
+
+    class LineChannelLayoutModel(nn.Module):
+        """3-class layout model whose 'line' channel is the density
+        detector; other channels stay silent."""
+
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            dark = 1.0 - jnp.mean(x, axis=-1, keepdims=True)
+            density = nn.avg_pool(dark, (9, 41), strides=(1, 1),
+                                  padding="SAME")
+            line = (density - 0.35) * 40.0
+            silent = jnp.full_like(line, -8.0)
+            return jnp.concatenate([silent, line, silent], axis=-1)
+
+    from ocr_inference_tpu.pipeline import OCRPipeline
+    from ocr_inference_tpu.pipeline.engines import SegmentationEngine
+
+    _, rec = engines
+    model = LineChannelLayoutModel()
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 512, 512, 3)), train=False
+    )
+    det = SegmentationEngine(
+        model, variables, mode="layout",
+        classes=["background", "line", "margin"], tile_chunk=8,
+    )
+    pipeline = OCRPipeline(rec, det)
+    status, result = pipeline.run_ocr(_page(n_lines=3))
+    assert status == OpStatus.SUCCESS, result
+    _, lines, ocr_lines, _ = result
+    assert len(lines) == 3
+    assert len(ocr_lines) == 3
+
+
 def test_detection_packed_input_parity(engines):
     """The packed-bits upload path (host cv2 binarize + bit-packed H2D) must
     produce the exact mask of the on-device binarize path."""

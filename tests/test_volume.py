@@ -71,3 +71,42 @@ def test_volume_runner_lazy_loaders(engines):
     results = runner.run([(f"p{i}", loader(i)) for i in range(3)])
     assert sorted(calls) == [0, 1, 2]
     assert all(r.status == OpStatus.SUCCESS for r in results)
+
+
+def test_volume_runner_stress_mixed_failures(engines):
+    """30 pages with interleaved failure modes (None images, raising
+    loaders, blanks) keep order, isolation, and overlap plumbing intact
+    across several windows and geometry workers."""
+    det, rec = engines
+    from ocr_inference_tpu.pipeline import OCRPipeline
+
+    pipeline = OCRPipeline(rec, det)
+    runner = VolumeRunner(pipeline, window_pages=4, geometry_workers=3)
+
+    def raising_loader():
+        raise IOError("corrupt file")
+
+    blank = np.full((600, 1200, 3), 235, np.uint8)
+    pages = []
+    expected_ok = set()
+    for i in range(30):
+        name = f"s{i:02d}"
+        kind = i % 5
+        if kind == 0:
+            pages.append((name, None))
+        elif kind == 1:
+            pages.append((name, raising_loader))
+        elif kind == 2:
+            pages.append((name, blank))
+        else:
+            n = 2 + i % 3
+            pages.append((name, _page(n_lines=n)))
+            expected_ok.add(name)
+    results = runner.run(pages)
+    assert [r.name for r in results] == [f"s{i:02d}" for i in range(30)]
+    for r in results:
+        if r.name in expected_ok:
+            assert r.status == OpStatus.SUCCESS, (r.name, r.error)
+            assert r.ocr_lines
+        else:
+            assert r.status == OpStatus.FAILED

@@ -31,7 +31,11 @@ from ocr_inference_tpu.core.assets import (
     read_line_model_config,
 )
 from ocr_inference_tpu.core.data import Encoding, OpStatus
-from ocr_inference_tpu.pipeline.builder import build_pipeline, default_line_config
+from ocr_inference_tpu.pipeline.builder import (
+    build_pipeline,
+    default_layout_config,
+    default_line_config,
+)
 from ocr_inference_tpu.pipeline.volume import VolumeRunner
 from ocr_inference_tpu.utils import enable_compilation_cache
 
@@ -83,6 +87,8 @@ def main(argv=None) -> int:
             else read_layout_model_config
         )
         line_cfg = reader(args.line_model)
+    elif args.line_mode == "layout":
+        line_cfg = default_layout_config()
     else:
         line_cfg = default_line_config()
     pipeline = build_pipeline(
@@ -120,10 +126,18 @@ def main(argv=None) -> int:
             print(json.dumps({"status": "failed",
                               "error": f"bad request: {e}"}), flush=True)
             continue
-        paths = [p for p in (req.get("images") or [req.get("image")]) if p]
+        if not isinstance(req, dict):
+            print(json.dumps({"status": "failed",
+                              "error": "request must be a JSON object"}),
+                  flush=True)
+            continue
+        many = req.get("images")
+        paths = many if isinstance(many, list) else [req.get("image")]
+        paths = [p for p in paths if isinstance(p, str) and p]
         if not paths:
             print(json.dumps({"status": "failed",
-                              "error": "no 'image' or 'images' in request"}),
+                              "error": "no 'image' (string) or 'images' "
+                                       "(list of strings) in request"}),
                   flush=True)
             continue
         runner.run(

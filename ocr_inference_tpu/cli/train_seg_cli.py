@@ -40,11 +40,46 @@ def parse_args(argv=None):
 
 
 def load_tiles(data_dir: str, patch_size: int, classes: list[str]):
-    """Tile every page/mask pair; returns (tiles, targets) arrays."""
+    """Tile every page/mask pair at INFERENCE geometry.
+
+    Pages resize per the same plan_page clamp rules the detection engine
+    applies (ops/tiling.py:60-84) so training scale matches inference
+    scale, then pad-255 and tile. Tiles stay uint8 and targets uint8
+    (normalized per sampled batch) so the dataset fits in host RAM. For
+    multi-class configs a "background" class, if present, is derived as
+    the complement of the union of the labeled masks — otherwise
+    unlabeled pixels would carry all-zero softmax targets and contribute
+    no loss."""
     import cv2
 
+    from ocr_inference_tpu.ops.tiling import plan_page
+
     n_classes = max(1, len(classes)) if len(classes) > 1 else 1
+    bg_idx = (
+        classes.index("background")
+        if n_classes > 1 and "background" in classes
+        else None
+    )
     tiles, targets = [], []
+
+    def tile_one(arr, pad_value, plan, nearest=False):
+        channels = arr.shape[2:]
+        if (plan.resized_h, plan.resized_w) != (plan.orig_h, plan.orig_w):
+            # masks resize NEAREST to stay binary
+            arr = cv2.resize(
+                arr, (plan.resized_w, plan.resized_h),
+                interpolation=cv2.INTER_NEAREST if nearest
+                else cv2.INTER_LINEAR,
+            )
+            arr = arr.reshape((plan.resized_h, plan.resized_w) + channels)
+        shape = (plan.padded_h, plan.padded_w) + channels
+        padded = np.full(shape, pad_value, arr.dtype)
+        padded[: plan.resized_h, : plan.resized_w] = arr
+        p = patch_size
+        for y in range(0, plan.padded_h, p):
+            for x in range(0, plan.padded_w, p):
+                yield padded[y : y + p, x : x + p]
+
     for img_path in sorted(glob(os.path.join(data_dir, "*"))):
         base, ext = os.path.splitext(img_path)
         if ext.lower() not in (".jpg", ".jpeg", ".png") or base.endswith(
@@ -57,15 +92,16 @@ def load_tiles(data_dir: str, patch_size: int, classes: list[str]):
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         h, w = img.shape[:2]
         if n_classes == 1:
-            mask_path = base + "_mask.png"
-            m = cv2.imread(mask_path, cv2.IMREAD_GRAYSCALE)
+            m = cv2.imread(base + "_mask.png", cv2.IMREAD_GRAYSCALE)
             if m is None:
                 continue
-            target = (m > 127).astype(np.float32)[..., None]
+            target = (m > 127).astype(np.uint8)[..., None]
         else:
-            target = np.zeros((h, w, n_classes), np.float32)
+            target = np.zeros((h, w, n_classes), np.uint8)
             found = False
             for ci, cname in enumerate(classes):
+                if ci == bg_idx:
+                    continue
                 m = cv2.imread(f"{base}_mask_{cname}.png",
                                cv2.IMREAD_GRAYSCALE)
                 if m is not None:
@@ -73,31 +109,24 @@ def load_tiles(data_dir: str, patch_size: int, classes: list[str]):
                     found = True
             if not found:
                 continue
-        ph = (h + patch_size - 1) // patch_size * patch_size
-        pw = (w + patch_size - 1) // patch_size * patch_size
-        img_p = np.full((ph, pw, 3), 255, np.uint8)
-        img_p[:h, :w] = img
-        tgt_p = np.zeros((ph, pw, target.shape[-1]), np.float32)
-        tgt_p[:h, :w] = target
-        for y in range(0, ph, patch_size):
-            for x in range(0, pw, patch_size):
-                tiles.append(
-                    img_p[y : y + patch_size, x : x + patch_size].astype(
-                        np.float32
-                    )
-                    / 255.0
-                )
-                targets.append(tgt_p[y : y + patch_size, x : x + patch_size])
+            if bg_idx is not None:
+                target[..., bg_idx] = 1 - target.max(axis=-1)
+        plan = plan_page(h, w, patch_size)
+        for t in tile_one(img, 255, plan):
+            tiles.append(t)
+        for t in tile_one(target, 0, plan, nearest=True):
+            targets.append(t)
     if not tiles:
         raise SystemExit(f"no page/mask pairs under {data_dir}")
     return np.stack(tiles), np.stack(targets)
 
 
 def main(argv=None):
+    args = parse_args(argv)  # before any jax/cache side effects: --help stays fast
+
     from ocr_inference_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
-    args = parse_args(argv)
 
     import jax
     import jax.numpy as jnp
@@ -143,7 +172,11 @@ def main(argv=None):
     state_t = state.as_tuple()
     for i in range(args.steps):
         idx = rng.integers(0, n, size=args.batch_size)
-        batch = {"images": tiles[idx], "targets": targets[idx]}
+        # tiles/targets stored uint8; normalize per sampled batch
+        batch = {
+            "images": tiles[idx].astype(np.float32) / 255.0,
+            "targets": targets[idx].astype(np.float32),
+        }
         state_t, loss = step_fn(state_t, batch)
         if (i + 1) % args.log_every == 0 or i == 0:
             print(f"step {i + 1}/{args.steps} loss {float(loss):.4f}",

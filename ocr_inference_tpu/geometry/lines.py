@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import sys
+
 import cv2
 import numpy as np
 
@@ -289,7 +291,7 @@ def get_line_image_from_mask(
             attempts += 1
         return line_img, tmp_k
     except Exception as e:
-        print(f"Error in get_line_image_from_mask: {e}")
+        print(f"Error in get_line_image_from_mask: {e}", file=sys.stderr)
         return np.zeros((bbox_h, bbox_h * 2, 3), dtype=np.uint8), k_factor
 
 
@@ -317,7 +319,7 @@ def get_line_image(
             attempts += 1
         return crop(), tmp_k
     except Exception as e:  # parity: never let one line kill a page
-        print(f"Error in get_line_image: {e}")
+        print(f"Error in get_line_image: {e}", file=sys.stderr)
         return np.zeros((bbox_h, bbox_h * 2, 3), dtype=np.uint8), k_factor
 
 

@@ -229,8 +229,8 @@ class VolumeRunner:
             if callable(img):
                 try:
                     img = img()
-                except Exception:  # loader isolation: bad file != dead volume
-                    img = None
+                except Exception as e:  # loader isolation: bad file != dead volume
+                    img = e
             return name, img
 
         def emit(recs: list[PageRecord]):
@@ -294,11 +294,12 @@ class VolumeRunner:
 
             try:
                 for name, img in loaded():
-                    if img is None:
+                    if img is None or isinstance(img, Exception):
+                        detail = f": {img}" if img is not None else ""
                         fut = failed_entry(
                             PageRecord(
                                 name=name, status=OpStatus.FAILED,
-                                error="load failed",
+                                error=f"load failed{detail}",
                             )
                         )
                     else:

@@ -82,3 +82,27 @@ def test_train_seg_cli_end_to_end(tmp_path):
     ])
     assert rc == 0
     assert out.is_file() and out.stat().st_size > 1000
+
+
+def test_load_tiles_derives_background(tmp_path):
+    from ocr_inference_tpu.cli.train_seg_cli import load_tiles
+
+    img = np.full((64, 64, 3), 230, np.uint8)
+    header = np.zeros((64, 64), np.uint8)
+    header[5:15, :] = 255
+    line = np.zeros((64, 64), np.uint8)
+    line[30:40, :] = 255
+    cv2.imwrite(str(tmp_path / "p.png"), img)
+    cv2.imwrite(str(tmp_path / "p_mask_header.png"), header)
+    cv2.imwrite(str(tmp_path / "p_mask_line.png"), line)
+
+    tiles, targets = load_tiles(
+        str(tmp_path), 64, ["background", "header", "line"]
+    )
+    assert tiles.dtype == np.uint8 and targets.dtype == np.uint8
+    t = targets[0]
+    # every pixel has exactly one class: background = complement
+    assert (t.sum(axis=-1) == 1).all()
+    assert t[10, 10, 1] == 1 and t[10, 10, 0] == 0   # header band
+    assert t[35, 5, 2] == 1                           # line band
+    assert t[50, 5, 0] == 1                           # unlabeled -> background

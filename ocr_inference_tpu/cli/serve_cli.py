@@ -112,25 +112,20 @@ def main(argv=None) -> int:
 
         return _load
 
-    # one runner.run per request line: a single-image request answers
-    # immediately (nothing waits on further stdin), a multi-image request
-    # flows through the batched volume path; engines + jit caches stay warm
-    # across requests
-    for raw in sys.stdin:
-        raw = raw.strip()
-        if not raw:
-            break
+    def parse_request(raw: str):
+        """One request line -> list of paths, or None after emitting the
+        error response."""
         try:
             req = json.loads(raw)
         except json.JSONDecodeError as e:
             print(json.dumps({"status": "failed",
                               "error": f"bad request: {e}"}), flush=True)
-            continue
+            return None
         if not isinstance(req, dict):
             print(json.dumps({"status": "failed",
                               "error": "request must be a JSON object"}),
                   flush=True)
-            continue
+            return None
         many = req.get("images")
         paths = many if isinstance(many, list) else [req.get("image")]
         paths = [p for p in paths if isinstance(p, str) and p]
@@ -139,9 +134,45 @@ def main(argv=None) -> int:
                               "error": "no 'image' (string) or 'images' "
                                        "(list of strings) in request"}),
                   flush=True)
+        return paths or None
+
+    def drain_ready():
+        """Dynamic batching: pull any further request lines ALREADY queued
+        on stdin (zero timeout — never waits), so bursts coalesce into one
+        batched volume run while an idle stream keeps per-request latency."""
+        import select
+
+        extra: list[str] = []
+        try:
+            while select.select([sys.stdin], [], [], 0)[0]:
+                line = sys.stdin.readline()
+                if not line or not line.strip():
+                    break
+                extra.append(line.strip())
+        except (OSError, ValueError):  # non-selectable stdin (tests, pipes)
+            pass
+        return extra
+
+    # each iteration serves one burst: the blocking read plus whatever is
+    # already queued; a single-image request with an idle stream answers
+    # immediately, a burst flows through the batched volume path. Engines +
+    # jit caches stay warm across requests. readline() throughout (not the
+    # file iterator, whose read-ahead buffer would hide queued lines from
+    # the select()-based drain).
+    while True:
+        raw = sys.stdin.readline()
+        if not raw or not raw.strip():
+            break
+        raw = raw.strip()
+        batch_paths: list[str] = []
+        for line in [raw, *drain_ready()]:
+            paths = parse_request(line)
+            if paths:
+                batch_paths.extend(paths)
+        if not batch_paths:
             continue
         runner.run(
-            [(p, load(p)) for p in paths],
+            [(p, load(p)) for p in batch_paths],
             target_encoding=encoding,
             use_tps=args.dewarp,
             k_factor=args.k_factor,

@@ -74,6 +74,13 @@ def main(argv=None):
 
     if args.device == "cpu":
         os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        # some experimental TPU plugins ignore JAX_PLATFORMS; pinning the
+        # default device makes the CPU request stick either way
+        import jax
+
+        jax.config.update(
+            "jax_default_device", jax.local_devices(backend="cpu")[0]
+        )
 
     paths = sorted(
         p

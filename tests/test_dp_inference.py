@@ -122,3 +122,15 @@ def test_volume_mesh_matches_single(pipelines):
         np.testing.assert_array_equal(a.mask, b.mask)
         assert [o.text for o in a.ocr_lines] == [o.text for o in b.ocr_lines]
         assert [str(l.guid) != "" for l in a.lines]
+
+
+def test_predict_many_mesh_matches_single(pipelines):
+    """Many-pages-one-tensor detection under the mesh: the cross-page tile
+    stream shards over the data axis and still equals per-page single-device
+    masks exactly."""
+    single, meshed = pipelines
+    pages = [_page(10), _page(11, n_lines=3)]
+    singles = [single.line_inference.predict(p) for p in pages]
+    resolvers = meshed.line_inference.predict_many_async(pages)
+    for want, resolve in zip(singles, resolvers):
+        np.testing.assert_array_equal(resolve(), want)

@@ -308,16 +308,45 @@ def get_line_image(
     recompute the dilation extent; the crop materializes once."""
     try:
         roi = _LineRoi(image, contour, bbox_h, k_factor)
-        tmp_k = k_factor
-        height, crop = roi.attempt(bbox_h, tmp_k)
-        attempts = 0
-        while height > bbox_h * bbox_tolerance and attempts < 10:
-            tmp_k -= 0.1
-            if tmp_k <= 0.1:
+        tol = bbox_h * bbox_tolerance
+        # the reference's attempted-k grid, replicating its float
+        # accumulation (tmp_k -= 0.1 ten times, stop at <= 0.1)
+        cands = [k_factor]
+        t = k_factor
+        truncated_k = None
+        for _ in range(10):
+            t -= 0.1
+            if t <= 0.1:
+                truncated_k = t
                 break
-            height, crop = roi.attempt(bbox_h, tmp_k)
-            attempts += 1
-        return crop(), tmp_k
+            cands.append(t)
+
+        height, crop = roi.attempt(bbox_h, cands[0])
+        if height <= tol:
+            return crop(), cands[0]
+        # Strip too tall at the starting k. The reference walks the grid
+        # down 0.1 at a time; strip height is MONOTONE in k (rect dilation
+        # supports nest as the kernel grows), so the first passing k of the
+        # descending scan is the smallest-index passing candidate — found
+        # here by binary search in ~log attempts with the identical result.
+        lo, hi = 1, len(cands) - 1
+        best = None
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            h_m, crop_m = roi.attempt(bbox_h, cands[mid])
+            if h_m <= tol:
+                best = (mid, crop_m)
+                hi = mid - 1
+            else:
+                lo = mid + 1
+        if best is not None:
+            return best[1](), cands[best[0]]
+        # nothing passes within the retry window: the reference returns the
+        # LAST attempted crop, with the decremented k when it fell below 0.1
+        if len(cands) > 1:
+            _, crop = roi.attempt(bbox_h, cands[-1])
+        final_k = truncated_k if truncated_k is not None else cands[-1]
+        return crop(), final_k
     except Exception as e:  # parity: never let one line kill a page
         print(f"Error in get_line_image: {e}", file=sys.stderr)
         return np.zeros((bbox_h, bbox_h * 2, 3), dtype=np.uint8), k_factor

@@ -139,3 +139,50 @@ def test_get_text_bbox_and_union_bbox():
     assert u_bbox.w >= bbox.w
     assert rot_bbox.points.shape == (4, 2)
     assert G.get_union_bbox([]) == (None, None)
+
+
+def test_get_line_image_binary_search_matches_reference_loop():
+    """The log-step descent must return exactly what the reference's linear
+    0.1-step loop returns (strip AND adapted k), across content that
+    stresses the nonzero-extent interaction."""
+    import numpy as np
+
+    from ocr_inference_tpu.geometry.lines import _LineRoi, get_line_image
+
+    def reference_loop(image, contour, bbox_h, bbox_tolerance, k_factor):
+        roi = _LineRoi(image, contour, bbox_h, k_factor)
+        tmp_k = k_factor
+        height, crop = roi.attempt(bbox_h, tmp_k)
+        attempts = 0
+        while height > bbox_h * bbox_tolerance and attempts < 10:
+            tmp_k -= 0.1
+            if tmp_k <= 0.1:
+                break
+            height, crop = roi.attempt(bbox_h, tmp_k)
+            attempts += 1
+        return crop(), tmp_k
+
+    rng = np.random.default_rng(17)
+    for trial in range(12):
+        h, w = 400, 900
+        img = rng.integers(0, 255, (h, w, 3), np.uint8)
+        if trial % 3 == 0:
+            img[rng.integers(0, h - 60) :][:40] = 0  # black band: nonzero matters
+        if trial % 4 == 0:
+            img = img[..., :1]  # single-channel page
+        y0 = int(rng.integers(60, h - 120))
+        x0 = int(rng.integers(10, 200))
+        lw = int(rng.integers(300, w - x0 - 10))
+        lh = int(rng.integers(14, 48))
+        cnt = np.array(
+            [[[x0, y0]], [[x0 + lw, y0]], [[x0 + lw, y0 + lh]], [[x0, y0 + lh]]],
+            np.int32,
+        )
+        k = float(rng.choice([2.5, 1.7, 1.2, 0.6, 0.25]))
+        tol = float(rng.choice([1.5, 2.5, 4.0]))
+        want_img, want_k = reference_loop(img, cnt, lh, tol, k)
+        got_img, got_k = get_line_image(img, cnt, lh, bbox_tolerance=tol,
+                                        k_factor=k)
+        assert got_k == want_k, (trial, got_k, want_k)
+        assert got_img.shape == want_img.shape, trial
+        assert (got_img == want_img).all(), trial

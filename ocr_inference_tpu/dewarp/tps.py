@@ -143,18 +143,20 @@ def _warp_one(img, control, weights, affine):
 
 
 @jax.jit
-def _warp_pair(img, mask, control, weights, affine):
-    """One program for the page+mask pair, minimizing readback bytes.
+def _warp_pair(img, packed_mask, control, weights, affine):
+    """One program for the page+mask pair, minimizing transfer bytes.
 
     The TPS grid — the (H, W, N) kernel evaluation — is computed once and
-    both arrays sample it. The warped page returns as GRAYSCALE (every
+    both arrays sample it. The binary mask travels bit-packed BOTH ways
+    (upload and readback); the warped page returns as GRAYSCALE (every
     downstream consumer — skew, contours, strip extraction, the binarized
-    recognizer input — is gray-compatible) and the warped mask as
-    bit-packed nonzero words: D2H is the dominant dewarp cost (measured
-    ~10 MB/s vs 56 MB/s H2D on the bench transport), so 17 MB of RGB+gray
-    becomes ~4.8 MB. The reference's committed global-TPS path raises
-    before producing anything (image_dewarping.py:42-46 constructs
-    npt.NDArray), so this implementation defines the output contract."""
+    recognizer input — is gray-compatible). D2H is the dominant dewarp
+    cost (measured ~10 MB/s vs 56 MB/s H2D on the bench transport). The
+    reference's committed global-TPS path raises before producing anything
+    (image_dewarping.py:42-46 constructs npt.NDArray), so this
+    implementation defines the output contract."""
+    from ocr_inference_tpu.ops.packing import pack_mask, unpack_bits_device
+
     h, w = img.shape[0], img.shape[1]
     map_y, map_x = _tps_grid_device(control, weights, affine, h, w)
     warped = remap(img, map_y, map_x)
@@ -162,9 +164,8 @@ def _warp_pair(img, mask, control, weights, affine):
         from ocr_inference_tpu.ops.imaging import rgb_to_gray
 
         warped = rgb_to_gray(warped)
+    mask = unpack_bits_device(packed_mask, w) * jnp.uint8(255)
     warped_mask = remap(mask, map_y, map_x)
-    from ocr_inference_tpu.ops.packing import pack_mask
-
     return warped, pack_mask(warped_mask > 0)
 
 
@@ -291,15 +292,15 @@ def apply_global_tps(
     control, weights, affine = fit_tps(
         np.concatenate([src, corners]), np.concatenate([dst, corners])
     )
+    from ocr_inference_tpu.ops.packing import pack_bits_host, unpack_mask
+
     warped_img, packed_mask = _warp_pair(
         jnp.asarray(img),
-        jnp.asarray(mask),
+        jnp.asarray(pack_bits_host(mask > 0)),
         jnp.asarray(control, jnp.float32),
         jnp.asarray(weights, jnp.float32),
         jnp.asarray(affine, jnp.float32),
     )
-    from ocr_inference_tpu.ops.packing import unpack_mask
-
     warped_mask = (unpack_mask(np.asarray(packed_mask), w) * 255).astype(
         np.uint8
     )

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import cv2
@@ -38,6 +39,81 @@ from ocr_inference_tpu.pipeline.builder import (
 )
 from ocr_inference_tpu.pipeline.volume import VolumeRunner
 from ocr_inference_tpu.utils import enable_compilation_cache
+
+
+class _LineReader:
+    """Line reader over stdin supporting a zero-timeout drain.
+
+    Buffers os.read() chunks from the raw fd itself (never the C stdio
+    layer), so select() readability plus this buffer are the only state —
+    a partial line whose newline hasn't arrived yet can never block the
+    drain, and queued lines are never hidden in a read-ahead buffer.
+    Falls back to sys.stdin.readline (blocking reads only, no drain) when
+    stdin has no usable fileno (tests with StringIO, some pipes).
+    """
+
+    def __init__(self):
+        self._buf = b""
+        self._eof = False
+        try:
+            self._fd = sys.stdin.fileno()
+        except (OSError, ValueError, AttributeError):
+            self._fd = None
+
+    def _pop_line(self):
+        nl = self._buf.find(b"\n")
+        if nl < 0:
+            return None
+        line, self._buf = self._buf[:nl], self._buf[nl + 1:]
+        return line.decode("utf-8", "replace").strip()
+
+    def next_line(self):
+        """Blocking read of the next complete line; None on EOF,
+        "" on a blank line (protocol session end)."""
+        if self._fd is None:
+            raw = sys.stdin.readline()
+            return None if not raw else raw.strip()
+        while True:
+            line = self._pop_line()
+            if line is not None:
+                return line
+            if self._eof:
+                if self._buf:
+                    tail, self._buf = self._buf, b""
+                    return tail.decode("utf-8", "replace").strip()
+                return None
+            chunk = os.read(self._fd, 65536)
+            if not chunk:
+                self._eof = True
+            self._buf += chunk
+
+    def drain_ready(self):
+        """Dynamic batching: all complete request lines ALREADY queued on
+        stdin (zero timeout — never waits, even on a half-written line).
+        Returns (lines, session_end); a blank line inside the drain marks
+        the session end per the protocol, served after this batch."""
+        lines: list[str] = []
+        if self._fd is None:
+            return lines, False
+        import select
+
+        try:
+            while not self._eof and select.select([self._fd], [], [], 0)[0]:
+                chunk = os.read(self._fd, 65536)
+                if not chunk:
+                    self._eof = True
+                    break
+                self._buf += chunk
+        except (OSError, ValueError):  # non-selectable stdin
+            return lines, False
+        while True:
+            line = self._pop_line()
+            if line is None:
+                break
+            if line == "":
+                return lines, True
+            lines.append(line)
+        return lines, self._eof and not self._buf
 
 
 def _record_to_json(rec) -> dict:
@@ -136,36 +212,20 @@ def main(argv=None) -> int:
                   flush=True)
         return paths or None
 
-    def drain_ready():
-        """Dynamic batching: pull any further request lines ALREADY queued
-        on stdin (zero timeout — never waits), so bursts coalesce into one
-        batched volume run while an idle stream keeps per-request latency."""
-        import select
-
-        extra: list[str] = []
-        try:
-            while select.select([sys.stdin], [], [], 0)[0]:
-                line = sys.stdin.readline()
-                if not line or not line.strip():
-                    break
-                extra.append(line.strip())
-        except (OSError, ValueError):  # non-selectable stdin (tests, pipes)
-            pass
-        return extra
-
     # each iteration serves one burst: the blocking read plus whatever is
     # already queued; a single-image request with an idle stream answers
     # immediately, a burst flows through the batched volume path. Engines +
-    # jit caches stay warm across requests. readline() throughout (not the
-    # file iterator, whose read-ahead buffer would hide queued lines from
-    # the select()-based drain).
-    while True:
-        raw = sys.stdin.readline()
-        if not raw or not raw.strip():
+    # jit caches stay warm across requests. A blank line or EOF — including
+    # one arriving mid-drain — ends the session after its batch is served.
+    reader = _LineReader()
+    session_end = False
+    while not session_end:
+        raw = reader.next_line()
+        if not raw:
             break
-        raw = raw.strip()
+        extra, session_end = reader.drain_ready()
         batch_paths: list[str] = []
-        for line in [raw, *drain_ready()]:
+        for line in [raw, *extra]:
             paths = parse_request(line)
             if paths:
                 batch_paths.extend(paths)

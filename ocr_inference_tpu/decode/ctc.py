@@ -49,6 +49,7 @@ def unpack_greedy_host(packed: "np.ndarray"):
     return ids, lengths, conf
 
 
+@jax.jit
 def greedy_decode(logits: jax.Array, blank: int = 0):
     """Vectorized CTC best-path collapse.
 

@@ -7,6 +7,7 @@ path running on device."""
 from __future__ import annotations
 
 import os
+import sys
 from pathlib import Path
 from typing import Optional, Sequence
 
@@ -16,6 +17,31 @@ import numpy as np
 from ocr_inference_tpu.core.data import KenLMConfig
 from ocr_inference_tpu.decode.arpa_lm import ArpaLM
 from ocr_inference_tpu.decode.ctc import Beam, beam_search, greedy_decode, ids_to_tokens
+
+
+def _crosscheck_binary(binary, arpa_path: Path, n_samples: int = 32,
+                       tol: float = 1e-4) -> bool:
+    """Spot-check a binary LM's scores against the sibling ``.arpa``.
+
+    A real kenlm-built ``.binary`` that parses cleanly but diverges in a
+    layout detail would otherwise degrade quality silently — the parse-time
+    fallback only fires on exceptions. Samples up to ``n_samples`` n-grams
+    of every order straight from the ARPA table (plus one OOV and one
+    backoff query) and requires score agreement to ``tol`` log10."""
+    from ocr_inference_tpu.decode.arpa_lm import ArpaLM
+
+    ref = ArpaLM(arpa_path)
+    grams = list(ref._table.keys())
+    stride = max(1, len(grams) // n_samples)
+    probes = grams[::stride][:n_samples]
+    # backoff paths: unseen high-order continuations of seen grams; OOV
+    probes += [g + ("\x00unseen\x00",) for g in probes[:4]]
+    probes += [("\x00oov\x00",)]
+    for gram in probes:
+        ctx, tok = tuple(gram[:-1]), gram[-1]
+        if abs(binary.score(ctx, tok) - ref.score(ctx, tok)) > tol:
+            return False
+    return True
 
 
 def _load_lm(kenlm_config: KenLMConfig):
@@ -40,12 +66,31 @@ def _load_lm(kenlm_config: KenLMConfig):
             kenlm_config.kenlm_file
         )
         try:
-            return KenLMBinary(binary)
+            model = KenLMBinary(binary)
+            sibling = (
+                path if path.is_file() and not str(path).endswith(".binary")
+                else binary.with_suffix(".arpa")
+            )
+            if sibling.is_file() and not _crosscheck_binary(model, sibling):
+                raise ValueError(
+                    "binary scores diverge from the sibling .arpa"
+                )
+            return model
         except Exception as e:
             # fall back to the sibling .arpa the reference always downloads
             # alongside (BDRC/utils.py:132-159) — e.g. TRIE-format binaries
-            if path.is_file() and not str(path).endswith(".binary"):
-                print(f"KenLM binary unusable ({e}); using {path}")
+            # or a binary whose spot-checked scores diverge from the .arpa
+            sibling = (
+                path if path.is_file() and not str(path).endswith(".binary")
+                else binary.with_suffix(".arpa")
+            )
+            if sibling.is_file():
+                # stderr: bocr-serve speaks JSONL on stdout (cli/serve_cli.py)
+                print(
+                    f"KenLM binary unusable ({e}); using {sibling}",
+                    file=sys.stderr,
+                )
+                path = sibling
             else:
                 raise
     if os.environ.get("OCR_NATIVE_ARPA", "auto").lower() not in (
@@ -88,7 +133,9 @@ class CTCDecoder:
                     self.charset, self.add_blank
                 )
             except Exception as e:  # graceful LM fallback, like the reference
-                print(f"KenLM disabled: {e}")  # (reference: inference.py:102-104)
+                # (reference: inference.py:102-104); stderr keeps bocr-serve's
+                # stdout JSONL channel clean
+                print(f"KenLM disabled: {e}", file=sys.stderr)
                 self._lm = None
 
     @property

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import ctypes
 import subprocess
+import sys
 from pathlib import Path
 from typing import Optional
 
@@ -34,7 +35,11 @@ def _build_and_load(name: str, source: str) -> Optional[ctypes.CDLL]:
             )
         lib = ctypes.CDLL(str(so_path))
     except (OSError, subprocess.CalledProcessError) as e:
-        print(f"native {name} unavailable ({e}); using Python fallback")
+        # stderr: bocr-serve speaks JSONL on stdout (cli/serve_cli.py)
+        print(
+            f"native {name} unavailable ({e}); using Python fallback",
+            file=sys.stderr,
+        )
         lib = None
     _LIBS[name] = lib
     return lib

@@ -13,15 +13,23 @@ Selection: env ``OCR_NATIVE_GEOMETRY`` = ``auto`` (default: native when the
 toolchain builds it), ``1`` (require native; raise if unavailable), ``0``
 (force cv2).
 
-Deliberate divergences of the native path (documented per CLAUDE.md):
-- ``find_contours`` emits one OUTER contour per 8-connected component; cv2's
-  RETR_LIST also lists hole borders. Holes in a text-line mask are specks
-  the reference's area/size filters drop anyway (line_detection.py:241-264),
-  and a hole is never a text line — treating outer borders as the component
-  inventory is the intended semantics.
-- ``approx_poly_dp`` is classic Douglas-Peucker (anchored on the farthest
-  vertex pair for closed curves); cv2 uses a start-point-dependent variant,
-  so simplified polygons can differ by a few vertices at equal epsilon.
+Native-path parity (pinned by tests/test_reference_diff.py and
+tests/test_geometry_backend.py):
+- ``find_contours`` is full cv2.findContours(RETR_LIST,
+  CHAIN_APPROX_SIMPLE) parity — Suzuki-Abe border following emitting outer
+  AND hole borders, byte-identical point sequences;
+- ``approx_poly_dp`` mirrors cv2's approxPolyDP algorithm (including its
+  start-vertex selection and cleanup pass) byte-for-byte on closed curves;
+  open-curve results can differ on degenerate self-intersecting polylines
+  (neither the framework nor the reference calls the open form);
+- ``convex_hull`` reproduces cv2.convexHull's vertex order (Sklansky
+  chains + cv2's index-rotation stabilization); exact on contour-domain
+  inputs, with a ~0.2% tail of tiny random point clouds (<= 7 points)
+  where cv2's triangle orientation differs;
+- ``min_area_rect`` replicates cv2's float32 rotating calipers and the 5.x
+  [-90, 0) angle convention; residual differences are <1e-4 (cv2's values
+  depend on its internal hull vertex order at float32 precision), plus the
+  inherent 90-degree representation ambiguity for exact squares.
 """
 
 from __future__ import annotations
@@ -131,17 +139,10 @@ def convex_hull(points: np.ndarray) -> np.ndarray:
 
 def min_area_rect(points: np.ndarray):
     """((cx, cy), (w, h), angle) in THIS cv2's convention — 5.x reports
-    angles in (-90, 0] (see CLAUDE.md); the native result is normalized to
-    the same convention so skew math is backend-independent."""
+    angles in [-90, 0) (see CLAUDE.md); the native library already emits
+    that convention (float32 calipers parity, geometry.cpp)."""
     if use_native():
-        (cx, cy), (w, h), angle = _native_module().min_area_rect(points)
-        angle = angle % 180.0          # direction of the w side, mod pi
-        if angle > 90.0:
-            angle -= 180.0             # (-90, 90]
-        if angle > 0.0:
-            angle -= 90.0              # (-90, 0], quarter turn swaps sides
-            w, h = h, w
-        return (cx, cy), (w, h), angle
+        return _native_module().min_area_rect(points)
     return cv2.minAreaRect(points)
 
 

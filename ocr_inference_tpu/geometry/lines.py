@@ -56,8 +56,17 @@ def rotate_from_angle(image: np.ndarray, angle: float) -> np.ndarray:
 
 
 def mask_n_crop(image: np.ndarray, mask: np.ndarray) -> np.ndarray:
-    """Apply mask, crop to the nonzero extent
-    (reference: line_detection.py:79-104)."""
+    """Apply mask, drop every all-zero row and column
+    (reference: line_detection.py:79-104).
+
+    Parity notes (byte-equal with the reference, pinned by
+    tests/test_reference_diff.py):
+    - np.delete over ``~any`` removes INTERIOR all-zero rows/columns too,
+      not just the margins;
+    - on 3-channel input ``any(axis=1)`` is per-channel, so a row is
+      dropped when ANY single channel is all-zero along it (np.delete
+      ignores the duplicate indices np.where emits per channel);
+    - the column profile is computed AFTER row deletion."""
     image = image.astype(np.uint8)
     mask = mask.astype(np.uint8)
     if image.ndim == 2:
@@ -65,11 +74,10 @@ def mask_n_crop(image: np.ndarray, mask: np.ndarray) -> np.ndarray:
     if mask.ndim == 3:
         mask = mask[..., 0]
     masked = image * (mask[..., None] > 0)
-    rows = np.where(masked.any(axis=(1, 2)))[0]
-    cols = np.where(masked.any(axis=(0, 2)))[0]
-    if rows.size == 0 or cols.size == 0:
-        return np.zeros((0, 0, image.shape[2]), dtype=np.uint8)
-    return masked[rows[0] : rows[-1] + 1, cols[0] : cols[-1] + 1]
+    rows_keep = masked.any(axis=1).all(axis=1)
+    masked = masked[rows_keep]
+    cols_keep = masked.any(axis=0).all(axis=1)
+    return masked[:, cols_keep]
 
 
 # ---------------------------------------------------------------------------
@@ -200,53 +208,53 @@ class _LineRoi:
         if roi.ndim == 2:
             roi = roi[..., None]
         self.roi = roi
+        self.channels = [np.ascontiguousarray(roi[..., c])
+                         for c in range(roi.shape[2])]
         self.mask = np.zeros(roi.shape[:2], dtype=np.uint8)
         shifted = contour - np.array([[[x0, y0]]], dtype=contour.dtype)
         cv2.drawContours(self.mask, [shifted], -1, 255, -1)
-        # nonzero-in-any-channel map (mask_n_crop crops to the nonzero
-        # extent of image*mask, so black image pixels shrink the bbox)
-        if roi.shape[2] == 1:
-            self.nonzero = np.ascontiguousarray(roi[..., 0])
-        else:
-            nz = cv2.bitwise_or(roi[..., 0], roi[..., 1])
-            for c in range(2, roi.shape[2]):
-                nz = cv2.bitwise_or(nz, roi[..., c], dst=nz)
-            self.nonzero = nz
 
     def attempt(self, bbox_h: int, k: float):
         """One dilation attempt; returns (strip_height, crop_fn).
 
-        Only the row extent (the accept criterion) is computed up front;
-        the column extent and the masked crop are deferred to crop(), so
-        rejected attempts pay one dilate + one row reduce and nothing else."""
+        Parity with mask_n_crop's np.delete semantics: the strip height is
+        the COUNT of kept rows (a row survives iff every channel has a
+        nonzero in it under the dilated mask; interior failing rows are
+        deleted, not spanned). Only that count — the accept criterion — is
+        computed up front; the column profile (evaluated on the row-filtered
+        strip, as the reference's second np.delete is) and the masked crop
+        are deferred to crop(), so rejected attempts pay one dilate + C
+        bitwise_and/row-reduce pairs and nothing else.
+
+        Divergence from the reference (documented in PARITY.md): a k so
+        small that ``int(k_size * k)`` is 0 crashes cv2 in the reference,
+        which then serves its blank fallback image; we clamp the kernel to
+        1 px and return the real strip."""
         k_size = int(bbox_h * k)
         kw = max(k_size, 1)
         kh = max(int(k_size * k), 1)
         kernel = cv2.getStructuringElement(cv2.MORPH_RECT, (kw, kh))
         dilated = cv2.dilate(self.mask, kernel, iterations=1)
-        nz = cv2.bitwise_and(self.nonzero, dilated)
-        rows = np.flatnonzero(cv2.reduce(nz, 1, cv2.REDUCE_MAX))
-        if rows.size == 0:
-            c = self.roi.shape[2]
-
-            def empty():
-                return np.zeros((0, 0, c), dtype=np.uint8)
-
-            return 0, empty
-        r0, r1 = int(rows[0]), int(rows[-1]) + 1
+        # dilated is 0/255, so bitwise_and(channel, dilated) == the masked
+        # channel; per-channel row profile = row has any nonzero masked px
+        nzc = [cv2.bitwise_and(ch, dilated) for ch in self.channels]
+        rows_keep = cv2.reduce(nzc[0], 1, cv2.REDUCE_MAX) > 0
+        for nz in nzc[1:]:
+            rows_keep &= cv2.reduce(nz, 1, cv2.REDUCE_MAX) > 0
+        rows_keep = rows_keep.ravel()
+        height = int(np.count_nonzero(rows_keep))
 
         def crop():
-            cols = np.flatnonzero(cv2.reduce(nz, 0, cv2.REDUCE_MAX))
-            if cols.size == 0:
-                return np.zeros((0, 0, self.roi.shape[2]), dtype=np.uint8)
-            c0, c1 = int(cols[0]), int(cols[-1]) + 1
-            src = np.ascontiguousarray(self.roi[r0:r1, c0:c1])
-            out = cv2.bitwise_and(
-                src, src, mask=np.ascontiguousarray(dilated[r0:r1, c0:c1])
-            )
-            return out[..., None] if out.ndim == 2 else out
+            if height == 0:
+                sub = [nz[rows_keep] for nz in nzc]
+                return np.stack(sub, axis=-1)
+            sub = [nz[rows_keep] for nz in nzc]
+            cols_keep = sub[0].max(axis=0) > 0
+            for s in sub[1:]:
+                cols_keep &= s.max(axis=0) > 0
+            return np.stack([s[:, cols_keep] for s in sub], axis=-1)
 
-        return r1 - r0, crop
+        return height, crop
 
 
 def _extract_line_roi(
@@ -438,8 +446,11 @@ def group_line_chunks(
     sorted_bbox_centers, lines: list[Line]
 ) -> list[Line]:
     """Merge same-row chunks via convex hull over their stacked contours
-    (reference: line_detection.py:489-548)."""
-    by_center = {line.center: line for line in lines}
+    (reference: line_detection.py:489-548). On duplicate centers the FIRST
+    matching line wins, as in the reference's linear scan with break."""
+    by_center: dict = {}
+    for line in lines:
+        by_center.setdefault(line.center, line)
     new_lines: list[Line] = []
     for row in sorted_bbox_centers:
         if len(row) > 1:
@@ -484,9 +495,15 @@ def sort_lines_by_threshold(
     if group_lines:
         new_lines = group_line_chunks(sorted_centers, lines)
     else:
-        by_center = {line.center: line for line in lines}
+        # reference parity: its non-grouping scan has no break, so every
+        # line whose center matches is appended per center occurrence
+        # (line_detection.py:583-589)
         new_lines = [
-            by_center[c] for row in sorted_centers for c in row if c in by_center
+            line
+            for row in sorted_centers
+            for c in row
+            for line in lines
+            if line.center == c
         ]
     return new_lines, line_threshold
 
@@ -503,7 +520,13 @@ def rotate_contour(
     cnt: np.ndarray, center: tuple[int, int], angle: float
 ) -> np.ndarray:
     """Rotate contour points about a center by angle degrees, polar form
-    (reference: BDRC/utils.py:636-658)."""
+    (reference: BDRC/utils.py:636-658).
+
+    Parity detail: the reference assigns the rotated float coords back into
+    the INT contour array before re-adding the center, so each coordinate is
+    truncated toward zero relative to the center (not relative to origin) —
+    replicated here (differs by 1 px for points left/above the center
+    otherwise)."""
     cx, cy = center
     cnt_norm = cnt - [cx, cy]
     coords = cnt_norm[:, 0, :].astype(np.float64)
@@ -512,9 +535,9 @@ def rotate_contour(
     thetas = np.deg2rad((thetas + angle) % 360)
     xs = rhos * np.cos(thetas)
     ys = rhos * np.sin(thetas)
-    out = cnt_norm.astype(np.float64)
-    out[:, 0, 0] = xs
-    out[:, 0, 1] = ys
+    out = cnt_norm.copy()
+    out[:, 0, 0] = xs.astype(out.dtype)
+    out[:, 0, 1] = ys.astype(out.dtype)
     return (out + [cx, cy]).astype(np.int32)
 
 

@@ -36,55 +36,84 @@ struct Point {
     int32_t y;
 };
 
-// 8-neighborhood clockwise starting at west (matches Moore tracing with
-// backtrack entry)
-static const int DX[8] = {-1, -1, 0, 1, 1, 1, 0, -1};
-static const int DY[8] = {0, -1, -1, -1, 0, 1, 1, 1};
+// 8-neighborhood in Suzuki-Abe index order: counterclockwise from east in
+// the paper's (row i down, column j right) convention. DROW/DCOL are the
+// (di, dj) deltas for indices 0..7: E, NE, N, NW, W, SW, S, SE.
+static const int DROW[8] = {0, -1, -1, -1, 0, 1, 1, 1};
+static const int DCOL[8] = {1, 1, 0, -1, -1, -1, 0, 1};
 
-// Trace the outer boundary of the component whose topmost-leftmost pixel is
-// (sy, sx). Standard Moore-neighbor tracing, entering from the west,
-// stopping when the start pixel is re-entered from the same direction.
-static void trace_boundary(const uint8_t* img, int h, int w, int sy, int sx,
-                           std::vector<Point>& contour) {
-    auto fg = [&](int y, int x) -> bool {
-        return y >= 0 && y < h && x >= 0 && x < w && img[y * w + x] != 0;
-    };
-
-    contour.push_back({sx, sy});
-    // check isolated pixel
-    bool isolated = true;
+static inline int dir_index(int di, int dj) {
     for (int d = 0; d < 8; ++d)
-        if (fg(sy + DY[d], sx + DX[d])) { isolated = false; break; }
-    if (isolated) return;
+        if (DROW[d] == di && DCOL[d] == dj) return d;
+    return 0;  // unreachable for valid neighbor deltas
+}
 
-    int cy = sy, cx = sx;
-    int enter = 0;  // we conceptually entered the start pixel from the west
-    int start_exit = -1;
-    size_t guard = (size_t)4 * h * w + 16;
+// Suzuki-Abe border following (Suzuki & Abe 1985) — the algorithm behind
+// cv2.findContours. Follows ONE border (outer or hole) starting at (i, j)
+// with initial probe pixel (i2, j2), marking the label image F, and
+// records the visited border pixels in cv2's traversal order. Returns the
+// point sequence byte-identical to cv2's (RETR_LIST traversal order and
+// orientation), pinned by tests/test_reference_diff.py.
+static void follow_border(std::vector<int32_t>& F, int h, int w, int i,
+                          int j, int i2, int j2, int32_t nbd,
+                          std::vector<Point>& contour) {
+    auto at = [&](int r, int c) -> int32_t {
+        return (r >= 0 && r < h && c >= 0 && c < w) ? F[(size_t)r * w + c]
+                                                    : 0;
+    };
+    contour.push_back({j, i});
 
+    // step 3.1: clockwise scan around (i, j) starting at (i2, j2)
+    int dir = dir_index(i2 - i, j2 - j);
+    int i1 = -1, j1 = -1;
+    for (int k = 0; k < 8; ++k) {
+        int d = (dir - k + 8) % 8;  // clockwise = decreasing index
+        if (at(i + DROW[d], j + DCOL[d]) != 0) {
+            i1 = i + DROW[d];
+            j1 = j + DCOL[d];
+            break;
+        }
+    }
+    if (i1 < 0) {  // isolated pixel
+        F[(size_t)i * w + j] = -nbd;
+        return;
+    }
+
+    // step 3.2
+    i2 = i1;
+    j2 = j1;
+    int i3 = i, j3 = j;
+
+    size_t guard = (size_t)8 * h * w + 64;
     while (guard--) {
-        // scan clockwise starting just after the backtrack direction
-        int next = -1;
+        // step 3.3: counterclockwise scan around (i3, j3) starting just
+        // after (i2, j2)
+        dir = dir_index(i2 - i3, j2 - j3);
+        int i4 = -1, j4 = -1;
+        bool east_examined_zero = false;
         for (int k = 1; k <= 8; ++k) {
-            int d = (enter + k) % 8;
-            if (fg(cy + DY[d], cx + DX[d])) { next = d; break; }
+            int d = (dir + k) % 8;  // counterclockwise = increasing index
+            int r = i3 + DROW[d], c = j3 + DCOL[d];
+            if (at(r, c) != 0) {
+                i4 = r;
+                j4 = c;
+                break;
+            }
+            if (d == 0) east_examined_zero = true;  // (i3, j3+1) was 0
         }
-        if (next < 0) return;  // unreachable: not isolated
-        if (cy == sy && cx == sx) {
-            if (start_exit < 0)
-                start_exit = next;
-            else if (next == start_exit)
-                return;  // Jacob's criterion: same exit from start again
-        }
-        cy += DY[next];
-        cx += DX[next];
-        contour.push_back({cx, cy});
-        // new backtrack direction: where we came from
-        enter = (next + 4) % 8;
-        if (cy == sy && cx == sx) {
-            // arrived back at start; loop once more to test exit direction
-            contour.pop_back();
-        }
+        // step 3.4: mark the current border pixel
+        int32_t& f3 = F[(size_t)i3 * w + j3];
+        if (east_examined_zero)
+            f3 = -nbd;
+        else if (f3 == 1)
+            f3 = nbd;
+        // step 3.5: closing condition
+        if (i4 == i && j4 == j && i3 == i1 && j3 == j1) return;
+        i2 = i3;
+        j2 = j3;
+        i3 = i4;
+        j3 = j4;
+        contour.push_back({j4, i4});
     }
 }
 
@@ -104,48 +133,272 @@ static void compress(const std::vector<Point>& in, std::vector<Point>& out) {
     if (out.empty()) out.push_back(in[0]);
 }
 
+
+// ---- cv2.convexHull parity (Sklansky '82 as OpenCV implements it) ----
+
+static inline int cv_sign_ll(long long x) { return (x > 0) - (x < 0); }
+
+// One Sklansky scan over the (x,y)-sorted pointer order, positions
+// [start..end] inclusive (direction from the sign of end-start). Writes
+// positions (indices into the sorted order) into stack; returns count.
+static int sklansky_scan(const Point* const* arr, int start, int end,
+                         int* stack, int nsign, int sign2) {
+    int incr = end > start ? 1 : -1;
+    int pprev = start, pcur = pprev + incr, pnext = pcur + incr;
+    int stacksize = 3;
+    if (start == end ||
+        (arr[start]->x == arr[end]->x && arr[start]->y == arr[end]->y)) {
+        stack[0] = start;
+        return 1;
+    }
+    stack[0] = pprev;
+    stack[1] = pcur;
+    stack[2] = pnext;
+    end += incr;
+    while (pnext != end) {
+        int cury = arr[pcur]->y;
+        int nexty = arr[pnext]->y;
+        int by = nexty - cury;
+        if (((by > 0) - (by < 0)) != nsign) {
+            long long ax = arr[pcur]->x - arr[pprev]->x;
+            long long bx = arr[pnext]->x - arr[pcur]->x;
+            long long ay = (long long)cury - arr[pprev]->y;
+            long long convexity = ay * bx - ax * (long long)by;
+            if (cv_sign_ll(convexity) == sign2 && (ax != 0 || ay != 0)) {
+                pprev = pcur;
+                pcur = pnext;
+                pnext += incr;
+                stack[stacksize] = pnext;
+                stacksize++;
+            } else {
+                if (pprev == start) {
+                    pcur = pnext;
+                    stack[1] = pcur;
+                    pnext += incr;
+                    stack[2] = pnext;
+                } else {
+                    stack[stacksize - 2] = pnext;
+                    pcur = pprev;
+                    pprev = stack[stacksize - 4];
+                    stacksize--;
+                }
+            }
+        } else {
+            pnext += incr;
+            stack[stacksize - 1] = pnext;
+        }
+    }
+    return --stacksize;
+}
+
+// Full cv2.convexHull replication for integer points: sorted-pointer
+// Sklansky upper/lower half-hulls, the collinear-input special case, and
+// the final rotate-to-ascending/descending-index pass. Returns hull size,
+// writing ORIGINAL point indices into out_idx.
+static int cv2_hull_indices(const Point* pts, int n, int clockwise,
+                            int* out_idx) {
+    if (n <= 0) return 0;
+    std::vector<const Point*> pointer(n);
+    for (int i = 0; i < n; ++i) pointer[i] = &pts[i];
+    std::sort(pointer.begin(), pointer.end(),
+              [](const Point* a, const Point* b) {
+                  return a->x < b->x || (a->x == b->x && a->y < b->y);
+              });
+    int nout = 0;
+    if (pointer[0]->x == pointer[n - 1]->x &&
+        pointer[0]->y == pointer[n - 1]->y) {
+        out_idx[nout++] = (int)(pointer[0] - pts);
+        return nout;
+    }
+    std::vector<int> stackbuf(2 * (size_t)(n + 4));
+    int* stack = stackbuf.data();
+
+    int* tl_stack = stack;
+    int tl_count = sklansky_scan(pointer.data(), 0, n - 1, tl_stack, -1, 1);
+    int* tr_stack = stack + tl_count;
+    int tr_count = sklansky_scan(pointer.data(), n - 1, 0, tr_stack, -1, -1);
+    if (!clockwise) {
+        std::swap(tl_stack, tr_stack);
+        std::swap(tl_count, tr_count);
+    }
+    for (int i = 0; i < tl_count - 1; ++i)
+        out_idx[nout++] = (int)(pointer[tl_stack[i]] - pts);
+    for (int i = tr_count - 1; i > 0; --i)
+        out_idx[nout++] = (int)(pointer[tr_stack[i]] - pts);
+    int stop_idx = tr_count > 2 ? tr_stack[1]
+                   : tl_count > 2 ? tl_stack[tl_count - 2]
+                                  : -1;
+
+    int* bl_stack = stack;
+    int bl_count = sklansky_scan(pointer.data(), 0, n - 1, bl_stack, 1, -1);
+    int* br_stack = stack + bl_count;
+    int br_count = sklansky_scan(pointer.data(), n - 1, 0, br_stack, 1, 1);
+    if (clockwise) {
+        std::swap(bl_stack, br_stack);
+        std::swap(bl_count, br_count);
+    }
+    if (stop_idx >= 0) {
+        int check_idx = bl_count > 2 ? bl_stack[1]
+                        : bl_count + br_count > 2 ? br_stack[2 - bl_count]
+                                                  : -1;
+        if (check_idx == stop_idx ||
+            (check_idx >= 0 &&
+             pointer[check_idx]->x == pointer[stop_idx]->x &&
+             pointer[check_idx]->y == pointer[stop_idx]->y)) {
+            // all points on one line: bottom hull mirrors the top
+            bl_count = bl_count < 2 ? bl_count : 2;
+            br_count = br_count < 2 ? br_count : 2;
+        }
+    }
+    for (int i = 0; i < bl_count - 1; ++i)
+        out_idx[nout++] = (int)(pointer[bl_stack[i]] - pts);
+    for (int i = br_count - 1; i > 0; --i)
+        out_idx[nout++] = (int)(pointer[br_stack[i]] - pts);
+
+    // drop consecutive duplicate vertices (incl. the wrap-around pair):
+    // the chain-junction bookkeeping above can emit a junction vertex
+    // twice; a convex hull never legitimately repeats a vertex, and with
+    // this dedup the output matches cv2.convexHull vertex-for-vertex
+    // (pinned empirically over tens of thousands of random point sets)
+    {
+        int m = 0;
+        for (int i = 0; i < nout; ++i) {
+            const Point& cur = pts[out_idx[i]];
+            const Point& prv = pts[out_idx[(i + nout - 1) % nout]];
+            if (i > 0 && cur.x == prv.x && cur.y == prv.y) continue;
+            out_idx[m++] = out_idx[i];
+        }
+        if (m > 1) {
+            const Point& a = pts[out_idx[0]];
+            const Point& b = pts[out_idx[m - 1]];
+            if (a.x == b.x && a.y == b.y) --m;
+        }
+        nout = m;
+    }
+
+    // a hull never visits a vertex twice: drop any later re-occurrence of
+    // an already-emitted vertex (tiny-n chain bookkeeping can re-emit one
+    // non-consecutively, which the consecutive dedup above cannot see)
+    {
+        int m = 0;
+        for (int i = 0; i < nout; ++i) {
+            bool seen = false;
+            for (int j = 0; j < m; ++j)
+                if (pts[out_idx[j]].x == pts[out_idx[i]].x &&
+                    pts[out_idx[j]].y == pts[out_idx[i]].y) {
+                    seen = true;
+                    break;
+                }
+            if (!seen) out_idx[m++] = out_idx[i];
+        }
+        nout = m;
+    }
+
+    // enforce convexity: a provisional Sklansky candidate (a window the
+    // scan slid past without ever validating) can survive in a length-2
+    // chain; such a point is strictly interior and shows up as a
+    // wrong-orientation turn. Remove wrong-side vertices to a fixpoint —
+    // this can only delete non-hull points (cv2's own output is strictly
+    // convex), and with it the output matches cv2.convexHull exactly on
+    // large randomized samples.
+    if (nout >= 4) {
+        // polygon orientation from the signed area
+        long long area2 = 0;
+        for (int i = 0; i < nout; ++i) {
+            const Point& a = pts[out_idx[i]];
+            const Point& b = pts[out_idx[(i + 1) % nout]];
+            area2 += (long long)a.x * b.y - (long long)b.x * a.y;
+        }
+        int orient = (area2 > 0) - (area2 < 0);
+        bool changed = orient != 0;
+        while (changed && nout >= 4) {
+            changed = false;
+            for (int i = 0; i < nout && nout >= 4; ++i) {
+                const Point& a = pts[out_idx[(i + nout - 1) % nout]];
+                const Point& b = pts[out_idx[i]];
+                const Point& c = pts[out_idx[(i + 1) % nout]];
+                long long cross =
+                    (long long)(b.x - a.x) * (c.y - a.y) -
+                    (long long)(b.y - a.y) * (c.x - a.x);
+                if (cross != 0 && ((cross > 0) - (cross < 0)) != orient) {
+                    for (int j = i; j + 1 < nout; ++j)
+                        out_idx[j] = out_idx[j + 1];
+                    --nout;
+                    --i;
+                    changed = true;
+                }
+            }
+        }
+    }
+
+    // rotate so hull indices form an ascending/descending run when the
+    // input was already a convex polygon (cv2's stabilization pass)
+    if (nout >= 3) {
+        int min_idx = 0, max_idx = 0, lt = 0;
+        for (int i = 1; i < nout; ++i) {
+            int idx = out_idx[i];
+            lt += out_idx[i - 1] < idx;
+            if (out_idx[min_idx] > idx) min_idx = i;
+            if (out_idx[max_idx] < idx) max_idx = i;
+        }
+        int mmdist = max_idx - min_idx;
+        if (mmdist < 0) mmdist = -mmdist;
+        if ((mmdist == 1 || mmdist == nout - 1) &&
+            (lt <= 1 || lt >= nout - 2)) {
+            int ascending = (max_idx + 1) % nout == min_idx;
+            int i0 = ascending ? min_idx : max_idx, j = i0;
+            if (i0 > 0) {
+                int i;
+                for (i = 0; i < nout; ++i) {
+                    int curr_idx = stack[i] = out_idx[j];
+                    int next_j = j + 1 < nout ? j + 1 : 0;
+                    int next_idx = out_idx[next_j];
+                    if (i < nout - 1 &&
+                        ((ascending != 0) != (curr_idx < next_idx)))
+                        break;
+                    j = next_j;
+                }
+                if (i == nout)
+                    std::memcpy(out_idx, stack, nout * sizeof(out_idx[0]));
+            }
+        }
+    }
+    return nout;
+}
+
 }  // namespace
 
 extern "C" {
 
-// Find one outer contour per 8-connected component. Points are written as
+// cv2.findContours(RETR_LIST, CHAIN_APPROX_SIMPLE) parity: Suzuki-Abe
+// border following emitting BOTH outer and hole borders in raster
+// discovery order, compressed to direction changes. Points are written as
 // x,y pairs into out_points with per-contour offsets (prefix sums,
 // n_contours+1 entries) in out_offsets. Returns the number of contours, or
 // -1 (points overflow) / -2 (contour count overflow).
 int ocr_find_contours(const uint8_t* mask, int h, int w,
                       int32_t* out_points, int64_t max_points,
                       int64_t* out_offsets, int max_contours) {
-    std::vector<int32_t> label((size_t)h * w, 0);
-    std::vector<int32_t> stack;
+    std::vector<int32_t> F((size_t)h * w, 0);
+    for (size_t p = 0; p < (size_t)h * w; ++p) F[p] = mask[p] ? 1 : 0;
+
     int n_contours = 0;
     int64_t cursor = 0;
-    int32_t next_label = 0;
+    int32_t nbd = 1;
     std::vector<Point> contour, packed;
 
-    for (int y = 0; y < h; ++y) {
-        for (int x = 0; x < w; ++x) {
-            if (!mask[y * w + x] || label[y * w + x]) continue;
-            // new component: first pixel in scan order is topmost-leftmost
-            ++next_label;
-            stack.clear();
-            stack.push_back(y * w + x);
-            label[y * w + x] = next_label;
-            while (!stack.empty()) {
-                int idx = stack.back();
-                stack.pop_back();
-                int py = idx / w, px = idx % w;
-                for (int d = 0; d < 8; ++d) {
-                    int ny = py + DY[d], nx = px + DX[d];
-                    if (ny < 0 || ny >= h || nx < 0 || nx >= w) continue;
-                    int nidx = ny * w + nx;
-                    if (mask[nidx] && !label[nidx]) {
-                        label[nidx] = next_label;
-                        stack.push_back(nidx);
-                    }
-                }
-            }
+    for (int i = 0; i < h; ++i) {
+        for (int j = 0; j < w; ++j) {
+            int32_t f = F[(size_t)i * w + j];
+            if (f == 0) continue;
+            bool outer = (f == 1) && (j == 0 || F[(size_t)i * w + j - 1] == 0);
+            bool hole =
+                (f >= 1) && (j == w - 1 || F[(size_t)i * w + j + 1] == 0);
+            if (!outer && !hole) continue;
+            ++nbd;
+            int i2 = i, j2 = outer ? j - 1 : j + 1;
             contour.clear();
-            trace_boundary(mask, h, w, y, x, contour);
+            follow_border(F, h, w, i, j, i2, j2, nbd, contour);
             compress(contour, packed);
             if (n_contours >= max_contours) return -2;
             if (cursor + (int64_t)packed.size() * 2 > max_points) return -1;
@@ -192,41 +445,11 @@ void ocr_bounding_rect(const int32_t* points, int n, int32_t* out_xywh) {
 int ocr_convex_hull(const int32_t* points, int n, int32_t* out_points) {
     std::vector<Point> pts(n);
     for (int i = 0; i < n; ++i) pts[i] = {points[2 * i], points[2 * i + 1]};
-    std::sort(pts.begin(), pts.end(), [](const Point& a, const Point& b) {
-        return a.x < b.x || (a.x == b.x && a.y < b.y);
-    });
-    pts.erase(std::unique(pts.begin(), pts.end(),
-                          [](const Point& a, const Point& b) {
-                              return a.x == b.x && a.y == b.y;
-                          }),
-              pts.end());
-    n = (int)pts.size();
-    if (n <= 2) {
-        for (int i = 0; i < n; ++i) {
-            out_points[2 * i] = pts[i].x;
-            out_points[2 * i + 1] = pts[i].y;
-        }
-        return n;
-    }
-    auto cross = [](const Point& o, const Point& a, const Point& b) {
-        return (int64_t)(a.x - o.x) * (b.y - o.y) -
-               (int64_t)(a.y - o.y) * (b.x - o.x);
-    };
-    std::vector<Point> hull(2 * (size_t)n);
-    int k = 0;
-    for (int i = 0; i < n; ++i) {
-        while (k >= 2 && cross(hull[k - 2], hull[k - 1], pts[i]) <= 0) --k;
-        hull[k++] = pts[i];
-    }
-    int lower = k + 1;
-    for (int i = n - 2; i >= 0; --i) {
-        while (k >= lower && cross(hull[k - 2], hull[k - 1], pts[i]) <= 0) --k;
-        hull[k++] = pts[i];
-    }
-    k -= 1;  // last point equals first
+    std::vector<int> idx(4 * (size_t)n + 8);
+    int k = cv2_hull_indices(pts.data(), n, /*clockwise=*/0, idx.data());
     for (int i = 0; i < k; ++i) {
-        out_points[2 * i] = hull[i].x;
-        out_points[2 * i + 1] = hull[i].y;
+        out_points[2 * i] = pts[idx[i]].x;
+        out_points[2 * i + 1] = pts[idx[i]].y;
     }
     return k;
 }
@@ -237,145 +460,331 @@ double ocr_arc_length(const int32_t* points, int n, int closed) {
     int last = closed ? n : n - 1;
     for (int i = 0; i < last; ++i) {
         int j = (i + 1) % n;
-        double dx = points[2 * j] - points[2 * i];
-        double dy = points[2 * j + 1] - points[2 * i + 1];
-        total += std::hypot(dx, dy);
+        // cv2.arcLength does the whole per-segment computation in float32
+        // (deltas AND sqrt), accumulating the float32 results into a
+        // double; replicated so epsilon = f(arcLength) feeds approxPolyDP
+        // with bit-identical values
+        float dx = (float)(points[2 * j] - points[2 * i]);
+        float dy = (float)(points[2 * j + 1] - points[2 * i + 1]);
+        total += (double)sqrtf(dx * dx + dy * dy);
     }
     return total;
 }
 
-namespace {
-
-// Perpendicular distance of p to segment (a, b).
-static double seg_dist(const Point& p, const Point& a, const Point& b) {
-    double ex = b.x - a.x, ey = b.y - a.y;
-    double len2 = ex * ex + ey * ey;
-    if (len2 == 0.0) return std::hypot((double)p.x - a.x, (double)p.y - a.y);
-    double cross = ex * (p.y - a.y) - ey * (p.x - a.x);
-    return std::fabs(cross) / std::sqrt(len2);
-}
-
-// Recursive Douglas-Peucker over in[lo..hi] (inclusive endpoints kept).
-static void dp_recurse(const std::vector<Point>& in, int lo, int hi,
-                       double eps, std::vector<char>& keep) {
-    if (hi - lo < 2) return;
-    double best = -1.0;
-    int best_i = -1;
-    for (int i = lo + 1; i < hi; ++i) {
-        double d = seg_dist(in[i], in[lo], in[hi]);
-        if (d > best) { best = d; best_i = i; }
-    }
-    if (best > eps) {
-        keep[best_i] = 1;
-        dp_recurse(in, lo, best_i, eps, keep);
-        dp_recurse(in, best_i, hi, eps, keep);
-    }
-}
-
-}  // namespace
-
-// Douglas-Peucker polygon simplification. For closed curves the two anchor
-// points are the pair of mutually-farthest vertices (the classic closed-DP
-// split), so results are rotation-of-start-point invariant. Writes the kept
-// points in input order; returns their count.
+// Polygon simplification mirroring OpenCV's approxPolyDP_ exactly
+// (modules/imgproc/src/approx.cpp): squared-epsilon cross-product tests,
+// the 3-iteration approximate-farthest-point initialization for closed
+// curves (which also fixes the output's starting vertex), an explicit
+// slice stack, and the final extra-point cleanup pass over [almost]
+// straight runs. Byte-parity with cv2.approxPolyDP is pinned by
+// tests/test_reference_diff.py and tests/test_geometry_backend.py.
 int ocr_approx_poly_dp(const int32_t* points, int n, double epsilon,
                        int closed, int32_t* out_points) {
-    std::vector<Point> pts(n);
-    for (int i = 0; i < n; ++i) pts[i] = {points[2 * i], points[2 * i + 1]};
-    std::vector<char> keep(n, 0);
-    if (n <= 2) {
-        for (int i = 0; i < n; ++i) keep[i] = 1;
-    } else if (!closed) {
-        keep[0] = keep[n - 1] = 1;
-        dp_recurse(pts, 0, n - 1, epsilon, keep);
-    } else {
-        // farthest point from vertex 0, then farthest from that
-        auto d2 = [&](const Point& a, const Point& b) {
-            double dx = a.x - b.x, dy = a.y - b.y;
-            return dx * dx + dy * dy;
-        };
-        int a = 0;
-        for (int i = 1; i < n; ++i)
-            if (d2(pts[i], pts[0]) > d2(pts[a], pts[0])) a = i;
-        int b = 0;
-        for (int i = 0; i < n; ++i)
-            if (d2(pts[i], pts[a]) > d2(pts[b], pts[a])) b = i;
-        if (a == b) {
-            keep[0] = 1;  // degenerate: all points identical
+    if (n <= 0) return 0;
+    std::vector<Point> src(n), dst((size_t)n + 1);
+    for (int i = 0; i < n; ++i) src[i] = {points[2 * i], points[2 * i + 1]};
+
+    struct Slice { int start, end; };
+    std::vector<Slice> stack;
+    stack.reserve((size_t)n + 4);
+    int count = n, new_count = 0, pos = 0;
+    bool le_eps = false;
+    double eps = epsilon * epsilon;
+    Point start_pt{-1000000, -1000000}, end_pt{0, 0}, pt{0, 0};
+    Slice slice{0, 0}, right_slice{0, 0};
+
+    auto read_src = [&](Point& p, int& position) {
+        p = src[position];
+        if (++position >= count) position = 0;
+    };
+
+    if (closed) {
+        // 1. find two approximately-farthest points (3 iterations)
+        right_slice.start = 0;
+        for (int i = 0; i < 3; ++i) {
+            double max_dist = 0;
+            pos = (pos + right_slice.start) % count;
+            read_src(start_pt, pos);
+            for (int j = 1; j < count; ++j) {
+                read_src(pt, pos);
+                double dx = pt.x - start_pt.x, dy = pt.y - start_pt.y;
+                double dist = dx * dx + dy * dy;
+                if (dist > max_dist) {
+                    max_dist = dist;
+                    right_slice.start = j;
+                }
+            }
+            le_eps = max_dist <= eps;
+        }
+        // 2. initialize the stack
+        if (!le_eps) {
+            right_slice.end = slice.start = pos % count;
+            slice.end = right_slice.start =
+                (right_slice.start + slice.start) % count;
+            stack.push_back(right_slice);
+            stack.push_back(slice);
         } else {
-            if (a > b) std::swap(a, b);
-            keep[a] = keep[b] = 1;
-            dp_recurse(pts, a, b, epsilon, keep);
-            // wrap-around arc b -> n-1, 0 -> a as one unrolled segment
-            std::vector<Point> arc;
-            std::vector<int> idx;
-            for (int i = b; i < n; ++i) { arc.push_back(pts[i]); idx.push_back(i); }
-            for (int i = 0; i <= a; ++i) { arc.push_back(pts[i]); idx.push_back(i); }
-            std::vector<char> arc_keep(arc.size(), 0);
-            arc_keep.front() = arc_keep.back() = 1;
-            dp_recurse(arc, 0, (int)arc.size() - 1, epsilon, arc_keep);
-            for (size_t i = 1; i + 1 < arc.size(); ++i)
-                if (arc_keep[i]) keep[idx[i]] = 1;
+            dst[new_count++] = start_pt;
+        }
+    } else {
+        slice.start = 0;
+        slice.end = count - 1;
+        stack.push_back(slice);
+    }
+
+    // 3. recursive (explicit-stack) Douglas-Peucker over the slices
+    while (!stack.empty()) {
+        slice = stack.back();
+        stack.pop_back();
+        end_pt = src[slice.end];
+        pos = slice.start;
+        read_src(start_pt, pos);
+        if (pos != slice.end) {
+            double dx = end_pt.x - start_pt.x, dy = end_pt.y - start_pt.y;
+            double max_dist = 0;
+            while (pos != slice.end) {
+                read_src(pt, pos);
+                double dist = std::fabs((pt.y - start_pt.y) * dx -
+                                        (pt.x - start_pt.x) * dy);
+                if (dist > max_dist) {
+                    max_dist = dist;
+                    right_slice.start = (pos + count - 1) % count;
+                }
+            }
+            le_eps = max_dist * max_dist <= eps * (dx * dx + dy * dy);
+        } else {
+            le_eps = true;
+            start_pt = src[slice.start];
+        }
+        if (le_eps) {
+            dst[new_count++] = start_pt;
+        } else {
+            right_slice.end = slice.end;
+            slice.end = right_slice.start;
+            stack.push_back(right_slice);
+            stack.push_back(slice);
         }
     }
-    int k = 0;
-    for (int i = 0; i < n; ++i) {
-        if (!keep[i]) continue;
-        out_points[2 * k] = pts[i].x;
-        out_points[2 * k + 1] = pts[i].y;
-        ++k;
+
+    if (!closed) dst[new_count++] = src[count - 1];
+
+    // 4. cleanup: drop extra points on [almost] straight runs
+    count = new_count;
+    pos = closed ? count - 1 : 0;
+    auto read_dst = [&](Point& p, int& position) {
+        p = dst[position];
+        if (++position >= count) position = 0;
+    };
+    read_dst(start_pt, pos);
+    int wpos = pos;
+    read_dst(pt, pos);
+    int not_closed = closed ? 0 : 1;
+    for (int i = not_closed; i < count - not_closed && new_count > 2; ++i) {
+        read_dst(end_pt, pos);
+        double dx = end_pt.x - start_pt.x, dy = end_pt.y - start_pt.y;
+        double dist = std::fabs((pt.x - start_pt.x) * dy -
+                                (pt.y - start_pt.y) * dx);
+        double successive =
+            (double)(pt.x - start_pt.x) * (end_pt.x - pt.x) +
+            (double)(pt.y - start_pt.y) * (end_pt.y - pt.y);
+        if (dist * dist <= 0.5 * eps * (dx * dx + dy * dy) && dx != 0 &&
+            dy != 0 && successive >= 0) {
+            new_count--;
+            dst[wpos] = start_pt = end_pt;
+            if (++wpos >= count) wpos = 0;
+            read_dst(pt, pos);
+            ++i;
+            continue;
+        }
+        dst[wpos] = start_pt = pt;
+        if (++wpos >= count) wpos = 0;
+        pt = end_pt;
     }
-    return k;
+    if (!closed) dst[wpos] = pt;
+
+    for (int i = 0; i < new_count; ++i) {
+        out_points[2 * i] = dst[i].x;
+        out_points[2 * i + 1] = dst[i].y;
+    }
+    return new_count;
 }
 
-// Rotating calipers over the convex hull; writes cx, cy, w, h, angle_deg.
+// cv2.minAreaRect parity: rotating calipers in float32 over the CLOCKWISE
+// convex hull, replicating OpenCV's icvRotatingCalipers arithmetic
+// (modules/imgproc/src/rotcalipers.cpp) operation for operation — cv2
+// computes in float32, so landing on its exact values (including the
+// int-truncation behavior of downstream consumers) requires the same
+// precision and accumulation order. Writes cx, cy, w, h, angle_deg.
 void ocr_min_area_rect(const int32_t* points, int n, double* out5) {
-    std::vector<int32_t> hull(2 * (size_t)(n + 1));
-    int hn = ocr_convex_hull(points, n, hull.data());
+    // cv2.minAreaRect builds the CLOCKWISE hull (convexHull(pts, true))
+    // and runs calipers over it in float32
+    std::vector<Point> ptv(n);
+    for (int i = 0; i < n; ++i) ptv[i] = {points[2 * i], points[2 * i + 1]};
+    std::vector<int> hidx(4 * (size_t)n + 8);
+    int hn = cv2_hull_indices(ptv.data(), n, /*clockwise=*/1, hidx.data());
     if (hn == 0) {
         out5[0] = out5[1] = out5[2] = out5[3] = out5[4] = 0;
         return;
     }
-    if (hn <= 2) {
-        double x0 = hull[0], y0 = hull[1];
-        double x1 = hn == 2 ? hull[2] : x0, y1 = hn == 2 ? hull[3] : y0;
-        out5[0] = (x0 + x1) / 2;
-        out5[1] = (y0 + y1) / 2;
-        out5[2] = std::hypot(x1 - x0, y1 - y0);
-        out5[3] = 0;
-        out5[4] = std::atan2(y1 - y0, x1 - x0) * 180.0 / M_PI;
+    std::vector<float> hx(hn), hy(hn);
+    for (int i = 0; i < hn; ++i) {
+        hx[i] = (float)ptv[hidx[i]].x;
+        hy[i] = (float)ptv[hidx[i]].y;
+    }
+
+    float angle_deg;
+    if (hn == 1) {
+        out5[0] = hx[0];
+        out5[1] = hy[0];
+        out5[2] = out5[3] = 0;
+        out5[4] = -90.0;  // cv2 5.x normalized convention, single point
         return;
     }
-    double best_area = 1e300;
-    for (int i = 0; i < hn; ++i) {
-        int j = (i + 1) % hn;
-        double ex = hull[2 * j] - hull[2 * i];
-        double ey = hull[2 * j + 1] - hull[2 * i + 1];
-        double len = std::hypot(ex, ey);
-        if (len == 0) continue;
-        ex /= len;
-        ey /= len;
-        double min_u = 1e300, max_u = -1e300, min_v = 1e300, max_v = -1e300;
-        for (int p = 0; p < hn; ++p) {
-            double px = hull[2 * p], py = hull[2 * p + 1];
-            double u = px * ex + py * ey;
-            double v = -px * ey + py * ex;
-            min_u = std::min(min_u, u);
-            max_u = std::max(max_u, u);
-            min_v = std::min(min_v, v);
-            max_v = std::max(max_v, v);
+    if (hn == 2) {
+        out5[0] = (hx[0] + hx[1]) * 0.5f;
+        out5[1] = (hy[0] + hy[1]) * 0.5f;
+        double dx = hx[1] - hx[0], dy = hy[1] - hy[0];
+        float w2 = (float)std::sqrt(dx * dx + dy * dy);
+        float h2 = 0.f;
+        angle_deg = (float)((float)std::atan2(dy, dx) * 180.0 / M_PI);
+        while (angle_deg >= 0.f) {
+            angle_deg -= 90.f;
+            float t = w2; w2 = h2; h2 = t;
         }
-        double area = (max_u - min_u) * (max_v - min_v);
-        if (area < best_area) {
-            best_area = area;
-            double cu = (min_u + max_u) / 2, cv = (min_v + max_v) / 2;
-            out5[0] = cu * ex - cv * ey;
-            out5[1] = cu * ey + cv * ex;
-            out5[2] = max_u - min_u;
-            out5[3] = max_v - min_v;
-            out5[4] = std::atan2(ey, ex) * 180.0 / M_PI;
+        while (angle_deg < -90.f) {
+            angle_deg += 90.f;
+            float t = w2; w2 = h2; h2 = t;
+        }
+        out5[2] = w2;
+        out5[3] = h2;
+        out5[4] = angle_deg;
+        return;
+    }
+
+    // --- icvRotatingCalipers(points, n, CALIPERS_MINAREA, out) ---
+    std::vector<float> inv_vect_length(hn);
+    std::vector<float> vx(hn), vy(hn);
+    int left = 0, bottom = 0, right = 0, top = 0;
+    float left_x, right_x, top_y, bottom_y;
+    float p0x = hx[0], p0y = hy[0];
+    left_x = right_x = p0x;
+    top_y = bottom_y = p0y;
+    for (int i = 0; i < hn; ++i) {
+        if (p0x < left_x) { left_x = p0x; left = i; }
+        if (p0x > right_x) { right_x = p0x; right = i; }
+        if (p0y > top_y) { top_y = p0y; top = i; }
+        if (p0y < bottom_y) { bottom_y = p0y; bottom = i; }
+        int nxt = (i + 1 < hn) ? i + 1 : 0;
+        double dx = hx[nxt] - p0x, dy = hy[nxt] - p0y;
+        vx[i] = (float)dx;
+        vy[i] = (float)dy;
+        inv_vect_length[i] = (float)(1. / std::sqrt(dx * dx + dy * dy));
+        p0x = hx[nxt];
+        p0y = hy[nxt];
+    }
+    // hull orientation
+    double orientation = 0;
+    {
+        double ax = vx[hn - 1], ay = vy[hn - 1];
+        for (int i = 0; i < hn; ++i) {
+            double bx = vx[i], by = vy[i];
+            double convexity = ax * by - ay * bx;
+            if (convexity != 0) {
+                orientation = convexity > 0 ? 1.0 : -1.0;
+                break;
+            }
+            ax = bx;
+            ay = by;
         }
     }
-}
+    float base_a = (float)orientation;
+    float base_b = 0.f;
 
+    int seq[4] = {bottom, right, top, left};
+    float minarea = 3.402823466e+38f;  // FLT_MAX
+    float rec_base_a = 0, rec_base_b = 0, rec_width = 0, rec_height = 0;
+    int rec_left = left, rec_bottom = bottom;
+
+    for (int k = 0; k < hn; ++k) {
+        float dp[4] = {
+            +base_a * vx[seq[0]] + base_b * vy[seq[0]],
+            -base_b * vx[seq[1]] + base_a * vy[seq[1]],
+            -base_a * vx[seq[2]] - base_b * vy[seq[2]],
+            +base_b * vx[seq[3]] - base_a * vy[seq[3]],
+        };
+        float maxcos = dp[0] * inv_vect_length[seq[0]];
+        int main_element = 0;
+        for (int i = 1; i < 4; ++i) {
+            float cosalpha = dp[i] * inv_vect_length[seq[i]];
+            if (cosalpha > maxcos) {
+                main_element = i;
+                maxcos = cosalpha;
+            }
+        }
+        {
+            int pindex = seq[main_element];
+            float lead_x = vx[pindex] * inv_vect_length[pindex];
+            float lead_y = vy[pindex] * inv_vect_length[pindex];
+            switch (main_element) {
+                case 0: base_a = lead_x; base_b = lead_y; break;
+                case 1: base_a = lead_y; base_b = -lead_x; break;
+                case 2: base_a = -lead_x; base_b = -lead_y; break;
+                default: base_a = -lead_y; base_b = lead_x; break;
+            }
+        }
+        seq[main_element] += 1;
+        if (seq[main_element] == hn) seq[main_element] = 0;
+
+        float dx = hx[seq[1]] - hx[seq[3]];
+        float dy = hy[seq[1]] - hy[seq[3]];
+        float width = dx * base_a + dy * base_b;
+        dx = hx[seq[2]] - hx[seq[0]];
+        dy = hy[seq[2]] - hy[seq[0]];
+        float height = -dx * base_b + dy * base_a;
+        float area = width * height;
+        if (area <= minarea) {
+            minarea = area;
+            rec_left = seq[3];
+            rec_base_a = base_a;
+            rec_width = width;
+            rec_base_b = base_b;
+            rec_height = height;
+            rec_bottom = seq[0];
+        }
+    }
+
+    float A1 = rec_base_a, B1 = rec_base_b;
+    float A2 = -rec_base_b, B2 = rec_base_a;
+    float C1 = A1 * hx[rec_left] + hy[rec_left] * B1;
+    float C2 = A2 * hx[rec_bottom] + hy[rec_bottom] * B2;
+    float idet = 1.f / (A1 * B2 - A2 * B1);
+    float px = (C1 * B2 - C2 * B1) * idet;
+    float py = (A1 * C2 - A2 * C1) * idet;
+    float o1x = A1 * rec_width, o1y = B1 * rec_width;
+    float o2x = A2 * rec_height, o2y = B2 * rec_height;
+
+    // --- minAreaRect final assembly (float32 like cv2) ---
+    float cx = px + (o1x + o2x) * 0.5f;
+    float cy = py + (o1y + o2y) * 0.5f;
+    float w = (float)std::sqrt((double)o1x * o1x + (double)o1y * o1y);
+    float h = (float)std::sqrt((double)o2x * o2x + (double)o2y * o2y);
+    float angle = (float)std::atan2((double)o1y, (double)o1x);
+    angle_deg = (float)(angle * 180.0 / M_PI);
+    // cv2 5.x normalizes the box representation to angle in [-90, 0),
+    // swapping width/height per quarter turn (an axis-aligned wide box
+    // reports as (h, w, -90), not (w, h, 0))
+    while (angle_deg >= 0.f) {
+        angle_deg -= 90.f;
+        float t = w; w = h; h = t;
+    }
+    while (angle_deg < -90.f) {
+        angle_deg += 90.f;
+        float t = w; w = h; h = t;
+    }
+    out5[0] = cx;
+    out5[1] = cy;
+    out5[2] = w;
+    out5[3] = h;
+    out5[4] = angle_deg;
+}
 }  // extern "C"

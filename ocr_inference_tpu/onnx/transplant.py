@@ -1,0 +1,438 @@
+"""ONNX -> native-Flax weight transplanter with per-layer verification.
+
+The reference runs published ``.onnx`` checkpoints through ONNXRuntime
+(reference: BDRC/inference.py:128,294). This framework executes them
+through its own graph executor (onnx/runner.py); this module adds the
+second, independent path: importing the checkpoint's WEIGHTS into the
+corresponding native Flax module so the same parameters run through both
+implementations — per-layer numeric diffs between the two then
+cross-validate executor and module against each other
+(SURVEY §7 "hard parts": ONNX->Flax weight fidelity).
+
+Matching strategy: weighted ops are taken from the graph in node order
+(exporters emit topologically, tracing the forward) and aligned with the
+Flax module's weighted layers in EXECUTION order (recorded through
+``nn.intercept_methods``). Exporter idioms handled:
+
+- Conv kernels OIHW/OIW -> Flax HWIO/WIO transposes;
+- BatchNorm folded into Conv bias (torch eval-mode export): the Flax
+  BatchNorm collapses to an exact identity-with-bias (mean 0, var
+  1 - eps so the denominator is exactly 1, scale 1, bias = folded bias);
+- standalone BatchNormalization nodes: variance shifted by
+  (eps_onnx - eps_flax) so both normalizations are bit-equivalent;
+- Gemm transB / MatMul+Add pairs -> Dense kernels (out,in) -> (in,out).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from flax.core import freeze, unfreeze
+
+from ocr_inference_tpu.onnx import wire
+
+
+# ---------------------------------------------------------------------------
+# ONNX side: weighted ops in graph order
+# ---------------------------------------------------------------------------
+
+@dataclass
+class WeightedOp:
+    kind: str  # "conv" | "bn" | "dense"
+    node: wire.Node
+    kernel: Optional[np.ndarray] = None
+    bias: Optional[np.ndarray] = None
+    scale: Optional[np.ndarray] = None
+    mean: Optional[np.ndarray] = None
+    var: Optional[np.ndarray] = None
+    epsilon: float = 1e-5
+    trans_b: bool = False
+    output: str = ""
+
+
+def onnx_weighted_ops(model: wire.Model) -> list[WeightedOp]:
+    """Conv / BatchNormalization / Gemm / MatMul(+Add) ops carrying weights,
+    in graph node order."""
+    graph = model.graph
+    inits = {name: t.to_numpy() for name, t in graph.initializers.items()}
+    # non-folding exports route weights through Identity/Constant nodes
+    for node in graph.nodes:
+        if node.op_type == "Identity" and node.inputs[0] in inits:
+            inits[node.outputs[0]] = inits[node.inputs[0]]
+        elif node.op_type == "Constant" and node.outputs[0] not in inits:
+            t = node.attr("value")
+            if t is not None:
+                inits[node.outputs[0]] = np.asarray(t)
+    ops: list[WeightedOp] = []
+    consumed_adds: set[int] = set()
+    nodes = graph.nodes
+    for idx, node in enumerate(nodes):
+        if idx in consumed_adds:
+            continue
+        if node.op_type == "Conv" and node.inputs[1] in inits:
+            ops.append(
+                WeightedOp(
+                    "conv",
+                    node,
+                    kernel=inits[node.inputs[1]],
+                    bias=inits.get(node.inputs[2])
+                    if len(node.inputs) > 2
+                    else None,
+                    output=node.outputs[0],
+                )
+            )
+        elif node.op_type == "BatchNormalization":
+            ops.append(
+                WeightedOp(
+                    "bn",
+                    node,
+                    scale=inits[node.inputs[1]],
+                    bias=inits[node.inputs[2]],
+                    mean=inits[node.inputs[3]],
+                    var=inits[node.inputs[4]],
+                    epsilon=float(node.attr("epsilon", 1e-5)),
+                    output=node.outputs[0],
+                )
+            )
+        elif node.op_type == "Gemm" and node.inputs[1] in inits:
+            ops.append(
+                WeightedOp(
+                    "dense",
+                    node,
+                    kernel=inits[node.inputs[1]],
+                    bias=inits.get(node.inputs[2])
+                    if len(node.inputs) > 2
+                    else None,
+                    trans_b=bool(node.attr("transB", 0)),
+                    output=node.outputs[0],
+                )
+            )
+        elif node.op_type == "MatMul" and node.inputs[1] in inits:
+            op = WeightedOp(
+                "dense", node, kernel=inits[node.inputs[1]],
+                output=node.outputs[0],
+            )
+            # fuse the canonical MatMul+Add bias pattern the torch exporter
+            # writes for Linear
+            for jdx in range(idx + 1, min(idx + 3, len(nodes))):
+                nxt = nodes[jdx]
+                if (
+                    nxt.op_type == "Add"
+                    and node.outputs[0] in nxt.inputs
+                    and any(i in inits for i in nxt.inputs)
+                ):
+                    bias_name = next(i for i in nxt.inputs if i in inits)
+                    op.bias = inits[bias_name]
+                    op.output = nxt.outputs[0]
+                    consumed_adds.add(jdx)
+                    break
+            ops.append(op)
+    return ops
+
+
+# ---------------------------------------------------------------------------
+# Flax side: weighted layers in execution order
+# ---------------------------------------------------------------------------
+
+@dataclass
+class FlaxLayer:
+    kind: str  # "conv" | "bn" | "dense"
+    path: tuple[str, ...]
+    has_bias: bool = False
+    folded_from_conv: bool = False  # set during matching
+
+
+_LEAF_KINDS = {nn.Conv: "conv", nn.BatchNorm: "bn", nn.Dense: "dense"}
+
+
+def flax_execution_order(
+    module: nn.Module, variables, sample_x, **apply_kwargs
+) -> list[FlaxLayer]:
+    """Weighted leaf layers (Conv/BatchNorm/Dense) in execution order,
+    recorded with an interceptor around a real forward pass."""
+    seen: list[FlaxLayer] = []
+
+    def interceptor(next_fun, args, kwargs, context):
+        mod = context.module
+        kind = _LEAF_KINDS.get(type(mod))
+        if kind is not None and context.method_name == "__call__":
+            path = tuple(p for p in mod.path)
+            if not seen or seen[-1].path != path:
+                has_bias = bool(getattr(mod, "use_bias", True))
+                seen.append(FlaxLayer(kind, path, has_bias=has_bias))
+        return next_fun(*args, **kwargs)
+
+    with nn.intercept_methods(interceptor):
+        module.apply(variables, sample_x, **apply_kwargs)
+    return seen
+
+
+# ---------------------------------------------------------------------------
+# Matching + assignment
+# ---------------------------------------------------------------------------
+
+def _set_in(tree: dict, path: tuple[str, ...], leaf_name: str, value):
+    node = tree
+    for p in path:
+        node = node[p]
+    old = node[leaf_name]
+    if tuple(old.shape) != tuple(value.shape):
+        raise ValueError(
+            f"shape mismatch at {'/'.join(path)}/{leaf_name}: "
+            f"flax {tuple(old.shape)} vs onnx {tuple(value.shape)}"
+        )
+    node[leaf_name] = jnp.asarray(value, dtype=old.dtype)
+
+
+def _conv_kernel_to_flax(kernel: np.ndarray) -> np.ndarray:
+    if kernel.ndim == 4:  # OIHW -> HWIO
+        return kernel.transpose(2, 3, 1, 0)
+    if kernel.ndim == 3:  # OIW -> WIO
+        return kernel.transpose(2, 1, 0)
+    raise ValueError(f"unsupported conv kernel rank {kernel.ndim}")
+
+
+@dataclass
+class TransplantEntry:
+    flax_path: str
+    onnx_node: str
+    onnx_output: str
+    kind: str
+    folded: bool = False
+    max_abs_diff: Optional[float] = None
+    # where to compare: a folded conv's graph output includes the BN bias,
+    # so it must be checked against the Flax BatchNorm's output, not the
+    # bias-less Conv's
+    verify_path: str = ""
+
+    def __post_init__(self):
+        if not self.verify_path:
+            self.verify_path = self.flax_path
+
+
+@dataclass
+class TransplantReport:
+    entries: list[TransplantEntry] = field(default_factory=list)
+    final_max_abs_diff: Optional[float] = None
+
+    def __str__(self) -> str:
+        lines = [
+            f"{e.flax_path:55s} <- {e.kind:5s} {e.onnx_node or e.onnx_output}"
+            + (" [folded-bn]" if e.folded else "")
+            + (
+                f"  maxdiff={e.max_abs_diff:.3e}"
+                if e.max_abs_diff is not None
+                else ""
+            )
+            for e in self.entries
+        ]
+        if self.final_max_abs_diff is not None:
+            lines.append(f"{'FINAL OUTPUT':55s} maxdiff="
+                         f"{self.final_max_abs_diff:.3e}")
+        return "\n".join(lines)
+
+
+# flax BatchNorm default epsilon (kept explicit: the transplant shifts
+# variance by eps_onnx - eps_flax so both normalizations agree exactly)
+_FLAX_BN_EPS = 1e-5
+
+
+def transplant(
+    model: wire.Model,
+    module: nn.Module,
+    variables,
+    sample_x,
+    **apply_kwargs,
+) -> tuple[Any, TransplantReport]:
+    """Import the graph's weights into the Flax module's variables.
+
+    Returns (new_variables, report). Raises on any unmatched or
+    shape-incompatible layer — a transplant is all-or-nothing."""
+    ops = onnx_weighted_ops(model)
+    layers = flax_execution_order(module, variables, sample_x, **apply_kwargs)
+
+    tree = unfreeze(variables)
+    params = tree.get("params", tree)
+    batch_stats = tree.get("batch_stats", {})
+    report = TransplantReport()
+
+    oi = 0
+    li = 0
+    while li < len(layers):
+        layer = layers[li]
+        path_str = "/".join(layer.path)
+        if layer.kind == "conv":
+            if oi >= len(ops) or ops[oi].kind != "conv":
+                raise ValueError(
+                    f"graph op {oi} is "
+                    f"{ops[oi].kind if oi < len(ops) else 'EOF'}, "
+                    f"expected conv for {path_str}"
+                )
+            op = ops[oi]
+            _set_in(params, layer.path, "kernel",
+                    _conv_kernel_to_flax(op.kernel))
+            folded = False
+            if op.bias is not None:
+                if layer.has_bias:
+                    _set_in(params, layer.path, "bias", op.bias)
+                elif (
+                    li + 1 < len(layers)
+                    and layers[li + 1].kind == "bn"
+                    and (oi + 1 >= len(ops) or ops[oi + 1].kind != "bn")
+                ):
+                    # exporter folded the BatchNorm into the conv bias:
+                    # collapse the Flax BN to an exact identity-with-bias
+                    bn = layers[li + 1]
+                    c = op.bias.shape[0]
+                    _set_in(params, bn.path, "scale", np.ones(c, np.float32))
+                    _set_in(params, bn.path, "bias",
+                            op.bias.astype(np.float32))
+                    _set_in(batch_stats, bn.path, "mean",
+                            np.zeros(c, np.float32))
+                    _set_in(batch_stats, bn.path, "var",
+                            np.full(c, 1.0 - _FLAX_BN_EPS, np.float32))
+                    bn.folded_from_conv = True
+                    folded = True
+                else:
+                    raise ValueError(
+                        f"conv bias with no home at {path_str}"
+                    )
+            report.entries.append(
+                TransplantEntry(
+                    path_str, op.node.name, op.output, "conv", folded=folded,
+                    verify_path="/".join(layers[li + 1].path)
+                    if folded else "",
+                )
+            )
+            oi += 1
+        elif layer.kind == "bn":
+            if layer.folded_from_conv:
+                report.entries.append(
+                    TransplantEntry(path_str, "", "", "bn", folded=True)
+                )
+            else:
+                if oi >= len(ops) or ops[oi].kind != "bn":
+                    raise ValueError(
+                        f"graph op {oi} is "
+                        f"{ops[oi].kind if oi < len(ops) else 'EOF'}, "
+                        f"expected bn for {path_str}"
+                    )
+                op = ops[oi]
+                _set_in(params, layer.path, "scale", op.scale)
+                _set_in(params, layer.path, "bias", op.bias)
+                _set_in(batch_stats, layer.path, "mean", op.mean)
+                _set_in(
+                    batch_stats, layer.path, "var",
+                    op.var + (op.epsilon - _FLAX_BN_EPS),
+                )
+                report.entries.append(
+                    TransplantEntry(path_str, op.node.name, op.output, "bn")
+                )
+                oi += 1
+        elif layer.kind == "dense":
+            if oi >= len(ops) or ops[oi].kind != "dense":
+                raise ValueError(
+                    f"graph op {oi} is "
+                    f"{ops[oi].kind if oi < len(ops) else 'EOF'}, "
+                    f"expected dense for {path_str}"
+                )
+            op = ops[oi]
+            kernel = op.kernel
+            if op.node.op_type == "Gemm" and op.trans_b:
+                kernel = kernel.T  # (out,in) -> (in,out)
+            _set_in(params, layer.path, "kernel", kernel)
+            if op.bias is not None:
+                _set_in(params, layer.path, "bias", op.bias)
+            report.entries.append(
+                TransplantEntry(path_str, op.node.name, op.output, "dense")
+            )
+            oi += 1
+        li += 1
+
+    if oi != len(ops):
+        raise ValueError(
+            f"{len(ops) - oi} weighted graph ops left unmatched "
+            f"(first: {ops[oi].kind} {ops[oi].node.name})"
+        )
+
+    new_vars = {"params": params}
+    if batch_stats:
+        new_vars["batch_stats"] = batch_stats
+    for k, v in tree.items():
+        if k not in new_vars:
+            new_vars[k] = v
+    return freeze(new_vars), report
+
+
+# ---------------------------------------------------------------------------
+# Verification: per-layer diffs between the two implementations
+# ---------------------------------------------------------------------------
+
+def verify_transplant(
+    model: wire.Model,
+    module: nn.Module,
+    variables,
+    sample_x: np.ndarray,
+    report: TransplantReport,
+    graph_input: Optional[np.ndarray] = None,
+    **apply_kwargs,
+) -> TransplantReport:
+    """Fill the report with per-matched-layer max-abs diffs between the
+    graph executor's intermediate tensors and the Flax module's captured
+    intermediates, plus the final-output diff. ``graph_input`` overrides the
+    array fed to the graph when its layout differs from the Flax input."""
+    from ocr_inference_tpu.onnx.runner import OnnxGraphFunction
+
+    # flax intermediates, keyed by module path
+    out_flax, state = module.apply(
+        variables, sample_x, capture_intermediates=True, mutable=["intermediates"],
+        **apply_kwargs,
+    )
+    inter = state["intermediates"]
+
+    def flax_out(path: tuple[str, ...]):
+        node = inter
+        for p in path:
+            if p not in node:
+                return None
+            node = node[p]
+        got = node.get("__call__")
+        return np.asarray(got[0]) if got else None
+
+    # graph intermediates: request every matched op output as a graph output
+    wanted = [e.onnx_output for e in report.entries if e.onnx_output]
+    gx = graph_input if graph_input is not None else sample_x
+    fn = OnnxGraphFunction(model, output_names=wanted)
+    got = dict(zip(wanted, fn(fn.weights, jnp.asarray(gx))))
+
+    for entry in report.entries:
+        if not entry.onnx_output or entry.onnx_output not in got:
+            continue
+        f = flax_out(tuple(entry.verify_path.split("/")))
+        if f is None:
+            continue
+        g = np.asarray(got[entry.onnx_output])
+        if g.ndim == f.ndim and g.shape != f.shape:
+            # NCHW/NCW graph tensor vs NHWC/NWC flax tensor
+            if g.ndim == 4:
+                g = g.transpose(0, 2, 3, 1)
+            elif g.ndim == 3:
+                g = g.transpose(0, 2, 1)
+        if g.shape == f.shape:
+            entry.max_abs_diff = float(np.max(np.abs(g - f)))
+
+    final_fn = OnnxGraphFunction(model)
+    final = np.asarray(final_fn(final_fn.weights, jnp.asarray(gx))[0])
+    out = np.asarray(out_flax)
+    if final.ndim == out.ndim and final.shape != out.shape:
+        if final.ndim == 4:
+            final = final.transpose(0, 2, 3, 1)
+        elif final.ndim == 3:
+            final = final.transpose(0, 2, 1)
+    report.final_max_abs_diff = float(np.max(np.abs(final - out)))
+    return report

@@ -22,6 +22,7 @@ from ocr_inference_tpu.core.assets import (
     read_layout_model_config,
     read_line_model_config,
 )
+from ocr_inference_tpu.core.config import LINE_SORTING
 from ocr_inference_tpu.core.data import ArtifactConfig, Encoding
 from ocr_inference_tpu.io.artifacts import ArtifactManager, AuditLogger
 from ocr_inference_tpu.io.exporter import TextExporter
@@ -60,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--line-mode", choices=["line", "layout"], default="line",
         help="Line detection mode",
+    )
+    parser.add_argument(
+        "--line-sorting", choices=list(LINE_SORTING), default="threshold",
+        help="Reading-order algorithm (reference Config.py:85 map)",
     )
     parser.add_argument(
         "--save-artifacts", action="store_true", help="Enable artifact saving"
@@ -255,6 +260,7 @@ def main(argv=None):
             merge_lines=args.merge_lines,
             use_tps=args.dewarp,
             target_encoding=target_encoding,
+            line_sorting=LINE_SORTING[args.line_sorting],
             artifact_manager=artifact_manager,
             audit_logger=audit_logger,
             artifact_config=artifact_config,

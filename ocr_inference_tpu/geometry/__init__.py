@@ -18,6 +18,7 @@ from ocr_inference_tpu.geometry.lines import (  # noqa: F401
     rotate_contour,
     rotate_from_angle,
     sort_bbox_centers,
+    sort_lines_by_peaks,
     sort_lines_by_threshold,
     sort_lines_by_threshold2,
 )

@@ -512,6 +512,67 @@ def sort_lines_by_threshold(
 sort_lines_by_threshold2 = sort_lines_by_threshold
 
 
+def sort_lines_by_peaks(
+    line_mask: np.ndarray,
+    lines: list[Line],
+    group_lines: bool = True,
+) -> tuple[list[Line], float]:
+    """Reading order via horizontal projection-profile peaks — the
+    LineSorting.PEAKS algorithm the reference declares but never implements
+    (reference: BDRC/data.py:60-64, Config.py:85 map every entry to an enum
+    the code never dispatches on). Each text row shows up as a peak in the
+    mask's row-sum profile; lines are grouped by their nearest peak, rows
+    read top to bottom, chunks left to right. More robust than the
+    threshold vote on pages with uneven inter-line gaps."""
+    if line_mask.ndim == 3:
+        line_mask = cv2.cvtColor(line_mask, cv2.COLOR_BGR2GRAY)
+    if not lines:
+        return [], 0.0
+
+    profile = (line_mask > 0).sum(axis=1).astype(np.float64)
+    heights = [line.bbox.h for line in lines]
+    min_gap = max(int(np.median(heights) * 0.75), 4)
+    k = max(min_gap // 2 * 2 + 1, 3)
+    kernel = np.ones(k) / k
+    smooth = np.convolve(profile, kernel, mode="same")
+
+    floor = smooth.max() * 0.2
+    peaks: list[int] = []
+    for y in range(1, len(smooth) - 1):
+        if smooth[y] < floor:
+            continue
+        if smooth[y] >= smooth[y - 1] and smooth[y] > smooth[y + 1]:
+            if peaks and y - peaks[-1] < min_gap:
+                if smooth[y] > smooth[peaks[-1]]:
+                    peaks[-1] = y
+                continue
+            peaks.append(y)
+    if not peaks:  # degenerate mask: single row
+        peaks = [int(np.argmax(smooth))]
+
+    rows: dict[int, list[tuple[int, int]]] = {i: [] for i in range(len(peaks))}
+    arr = np.asarray(peaks)
+    for line in lines:
+        idx = int(np.argmin(np.abs(arr - line.center[1])))
+        rows[idx].append(line.center)
+    sorted_centers = [
+        sorted(rows[i], key=lambda c: c[0])
+        for i in range(len(peaks))
+        if rows[i]
+    ]
+    if group_lines:
+        new_lines = group_line_chunks(sorted_centers, lines)
+    else:
+        new_lines = [
+            line
+            for row in sorted_centers
+            for c in row
+            for line in lines
+            if line.center == c
+        ]
+    return new_lines, float(min_gap)
+
+
 # ---------------------------------------------------------------------------
 # Misc geometry used by exporters / layout
 # ---------------------------------------------------------------------------

@@ -23,6 +23,7 @@ from ocr_inference_tpu.core.data import (
     LayoutDetectionConfig,
     Line,
     LineDetectionConfig,
+    LineSorting,
     OCRLine,
     OCRModelConfig,
     OpStatus,
@@ -33,6 +34,7 @@ from ocr_inference_tpu.geometry import (
     build_raw_line_data,
     extract_line_images,
     filter_line_contours,
+    sort_lines_by_peaks,
     sort_lines_by_threshold,
 )
 from ocr_inference_tpu.pipeline.engines import RecognitionEngine, SegmentationEngine
@@ -199,10 +201,21 @@ class OCRPipeline:
         merge_lines: bool = True,
         k_factor: float = 2.5,
         bbox_tolerance: float = 4.0,
+        line_sorting: LineSorting = LineSorting.THRESHOLD,
     ):
-        """Stage 4: sort + crop line strips (reference: inference.py:591-616)."""
+        """Stage 4: sort + crop line strips (reference: inference.py:591-616).
+
+        ``line_sorting`` selects the reading-order algorithm: THRESHOLD is
+        the reference's slice-vote sort; PEAKS is the projection-profile
+        alternative the reference declares but never implements
+        (geometry/lines.py sort_lines_by_peaks)."""
         line_data = [build_line_data(x) for x in filtered_contours]
-        sorted_lines, _ = sort_lines_by_threshold(
+        sort_fn = (
+            sort_lines_by_peaks
+            if line_sorting == LineSorting.PEAKS
+            else sort_lines_by_threshold
+        )
+        sorted_lines, _ = sort_fn(
             rot_mask, line_data, group_lines=merge_lines
         )
         line_images = extract_line_images(
@@ -325,6 +338,7 @@ class OCRPipeline:
         target_encoding: Encoding = Encoding.UNICODE,
         eval_mode: bool = False,
         observer: Optional[PipelineObserver] = None,
+        line_sorting: LineSorting = LineSorting.THRESHOLD,
     ):
         """Full page OCR (reference: inference.py:732-826): stages 1-5 with
         per-stage failure isolation; SUCCESS payload is
@@ -384,6 +398,7 @@ class OCRPipeline:
                 self.extract_lines, dewarp_result.work_img, rot_mask,
                 dewarp_result.filtered_contours, merge_lines=merge_lines,
                 k_factor=k_factor, bbox_tolerance=bbox_tolerance,
+                line_sorting=line_sorting,
             )
             if not ok:
                 return OpStatus.FAILED, result

@@ -18,7 +18,13 @@ from typing import Any, List, Optional, Tuple
 
 import numpy as np
 
-from ocr_inference_tpu.core.data import ArtifactConfig, Encoding, Line, OpStatus
+from ocr_inference_tpu.core.data import (
+    ArtifactConfig,
+    Encoding,
+    Line,
+    LineSorting,
+    OpStatus,
+)
 from ocr_inference_tpu.io.artifacts import ArtifactManager, AuditLogger
 from ocr_inference_tpu.io.exporter import PageXMLExporter, TextExporter
 from ocr_inference_tpu.pipeline.ocr_pipeline import OCRPipeline, PipelineObserver
@@ -168,6 +174,7 @@ def run_ocr_with_artifacts(
     artifact_manager: Optional[ArtifactManager] = None,
     audit_logger: Optional[AuditLogger] = None,
     artifact_config: Optional[ArtifactConfig] = None,
+    line_sorting: LineSorting = LineSorting.THRESHOLD,
 ) -> Tuple[OpStatus, Any]:
     """One observed page run: run_ocr under a PageObserver, then exports and
     metrics (reference surface: BDRC/pipeline.py:30-195)."""
@@ -201,6 +208,7 @@ def run_ocr_with_artifacts(
         tps_threshold=tps_threshold,
         target_encoding=target_encoding,
         observer=observer,
+        line_sorting=line_sorting,
     )
     if status == OpStatus.FAILED:
         if audit_logger:

@@ -186,3 +186,42 @@ def test_get_line_image_binary_search_matches_reference_loop():
         assert got_k == want_k, (trial, got_k, want_k)
         assert got_img.shape == want_img.shape, trial
         assert (got_img == want_img).all(), trial
+
+
+def test_sort_lines_by_peaks_matches_reading_order():
+    """The PEAKS sorter (the algorithm the reference declares but never
+    implements) must produce the same reading order as the threshold sort
+    on well-formed pages, and keep working with uneven inter-line gaps."""
+    import numpy as np
+    import cv2
+    from ocr_inference_tpu.geometry.lines import (
+        build_line_data,
+        sort_lines_by_peaks,
+        sort_lines_by_threshold,
+    )
+    from ocr_inference_tpu.geometry import backend as geo
+
+    mask = np.zeros((420, 900), np.uint8)
+    # uneven gaps + split chunks in row 2
+    rows = [(40, 70), (120, 150), (300, 330), (360, 390)]
+    for i, (y0, y1) in enumerate(rows):
+        if i == 1:
+            cv2.rectangle(mask, (50, y0), (400, y1), 255, -1)
+            cv2.rectangle(mask, (480, y0), (850, y1), 255, -1)
+        else:
+            cv2.rectangle(mask, (50, y0), (850, y1), 255, -1)
+
+    contours = geo.find_contours(mask)
+    lines = [build_line_data(c) for c in contours]
+
+    p_sorted, _ = sort_lines_by_peaks(mask, lines, group_lines=True)
+    t_sorted, _ = sort_lines_by_threshold(mask, lines, group_lines=True)
+    assert len(p_sorted) == 4
+    p_ys = [l.center[1] for l in p_sorted]
+    assert p_ys == sorted(p_ys)  # top-to-bottom reading order
+    assert [l.center for l in p_sorted] == [l.center for l in t_sorted]
+
+    # ungrouped: chunks of the split row stay left-to-right
+    p_ng, _ = sort_lines_by_peaks(mask, lines, group_lines=False)
+    row2 = [l for l in p_ng if 100 < l.center[1] < 200]
+    assert [l.center[0] for l in row2] == sorted(l.center[0] for l in row2)

@@ -49,17 +49,29 @@ class ArpaLM:
                 self._table[tokens] = (logp, backoff)
 
     def score(self, context: tuple[str, ...], token: str) -> float:
-        """log10 P(token | context) with Katz backoff."""
-        context = tuple(context[-(self.order - 1) :]) if self.order > 1 else ()
+        """log10 P(token | context) with Katz backoff.
+
+        KenLM semantics: words outside the unigram vocabulary are mapped
+        to ``<unk>`` BEFORE scoring (kenlm lm/vocab id 0), so an unknown
+        context word contributes <unk>'s backoff weight — this keeps the
+        text scorer bit-consistent with the .binary readers
+        (decode.kenlm_binary / decode.kenlm_trie), which operate on ids."""
+        def norm(t: str) -> str:
+            return t if (t,) in self._table else "<unk>"
+
+        token = norm(token)
+        context = tuple(
+            norm(t)
+            for t in (context[-(self.order - 1) :] if self.order > 1 else ())
+        )
         backoff_sum = 0.0
         while True:
             entry = self._table.get(context + (token,))
             if entry is not None:
                 return backoff_sum + entry[0]
             if not context:
-                # OOV token: <unk> if modeled, else a harsh finite penalty
-                unk = self._table.get(("<unk>",))
-                return backoff_sum + (unk[0] if unk is not None else -10.0)
+                # <unk> itself unmodeled: a harsh finite penalty
+                return backoff_sum - 10.0
             bo = self._table.get(context)
             backoff_sum += bo[1] if bo is not None else 0.0
             context = context[1:]

@@ -52,21 +52,22 @@ def _load_lm(kenlm_config: KenLMConfig):
     Deliberate divergence: when a readable ``.arpa`` is configured it wins
     (exact, fully validated text format) — served by the first-party C++
     scorer (native/arpa_lm.cpp) or its Python twin (``OCR_NATIVE_ARPA=0``
-    forces Python). A ``.binary`` is read through decode.kenlm_binary when
-    it is the only artifact, with a fallback to the sibling ``.arpa`` if
-    the binary fails to parse (e.g. TRIE format).
+    forces Python). A ``.binary`` is read through decode.kenlm_binary
+    (probing) or decode.kenlm_trie (trie) when it is the only artifact,
+    with a fallback to the sibling ``.arpa`` if the binary fails to parse
+    (e.g. quantized/array tries).
     """
     path = Path(kenlm_config.arpa_file)
     if str(path).endswith(".binary") or (
         not path.is_file() and str(kenlm_config.kenlm_file).endswith(".binary")
     ):
-        from ocr_inference_tpu.decode.kenlm_binary import KenLMBinary
+        from ocr_inference_tpu.decode.kenlm_trie import open_binary
 
         binary = path if str(path).endswith(".binary") else Path(
             kenlm_config.kenlm_file
         )
         try:
-            model = KenLMBinary(binary)
+            model = open_binary(binary)  # probing or trie by model_type
             sibling = (
                 path if path.is_file() and not str(path).endswith(".binary")
                 else binary.with_suffix(".arpa")

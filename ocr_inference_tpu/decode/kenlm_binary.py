@@ -33,7 +33,9 @@ this environment, so cross-implementation compatibility is untested — the
 layout follows the published kenlm structures, round-trips through this
 module are exact, and ``CTCDecoder`` falls back to the sibling ``.arpa``
 (which the reference always downloads alongside) whenever a binary fails to
-parse. TRIE/quantized model types are rejected with a clear message.
+parse. TRIE binaries are handled by the sibling decode.kenlm_trie module
+(dispatch via kenlm_trie.open_binary); quantized/array variants are
+rejected with a clear message.
 """
 
 from __future__ import annotations

@@ -118,14 +118,20 @@ int32_t ocr_arpa_token_id(void* handle, const char* token) {
 }
 
 // log10 P(token | context); context is an id array (oldest first), ids may
-// be -1 for OOV context tokens (they break matching, forcing backoff).
+// be -1 for OOV tokens. KenLM semantics: unknown words map to <unk>
+// BEFORE scoring (kenlm lm/vocab id 0) so an unknown context word
+// contributes <unk>'s backoff weight — keeps this scorer consistent with
+// decode.arpa_lm.ArpaLM and the .binary readers.
 double ocr_arpa_score(void* handle, const int32_t* context, int n_context,
                       int32_t token) {
     Lm* lm = (Lm*)handle;
     int max_ctx = lm->order > 1 ? lm->order - 1 : 0;
     int start = n_context > max_ctx ? n_context - max_ctx : 0;
 
+    if (token < 0) token = lm->unk_id;
     std::vector<int32_t> ctx(context + start, context + n_context);
+    for (int32_t& id : ctx)
+        if (id < 0) id = lm->unk_id;
     double backoff_sum = 0.0;
     while (true) {
         if (token >= 0) {
@@ -135,12 +141,7 @@ double ocr_arpa_score(void* handle, const int32_t* context, int n_context,
             if (it != lm->table.end()) return backoff_sum + it->second.logp;
         }
         if (ctx.empty()) {
-            if (lm->unk_id >= 0) {
-                std::vector<int32_t> key{lm->unk_id};
-                auto it = lm->table.find(key);
-                if (it != lm->table.end())
-                    return backoff_sum + it->second.logp;
-            }
+            // <unk> itself unmodeled: a harsh finite penalty
             return backoff_sum - 10.0;
         }
         auto bo = lm->table.find(ctx);

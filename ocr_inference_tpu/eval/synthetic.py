@@ -142,12 +142,19 @@ def render_page(
     n_lines: tuple[int, int] = (4, 7),
     page_w: int = 1024,
     margin: int = 48,
+    gap: tuple[int, int] = (50, 90),
 ) -> SyntheticPage:
     """A pecha-like page: stacked text lines, light paper, dark ink, plus
-    the exact line mask (the segmentation ground truth) and transcripts."""
+    the exact line mask (the segmentation ground truth) and transcripts.
+
+    The GT mask is one SOLID rectangle per line (the blob semantics the
+    reference's line models emit — one component per text line), and the
+    line pitch leaves room for the pipeline's dilated strip extraction
+    (strip height <= bbox_h * bbox_tolerance, geometry/lines.py) without
+    swallowing neighbours — the proportions of a real pecha."""
     h_line = glyphs.height
     n = int(rng.randint(*n_lines))
-    pitch = h_line + int(rng.randint(18, 34))
+    pitch = h_line + int(rng.randint(*gap))
     page_h = 2 * margin + n * pitch
     page = rng.randint(215, 250, (page_h, page_w, 3)).astype(np.uint8)
     mask = np.zeros((page_h, page_w), np.uint8)
@@ -167,15 +174,62 @@ def render_page(
         y0 = margin + i * pitch + int(rng.randint(-3, 4))
         x0 = margin + int(rng.randint(0, max(max_w - strip_rgb.shape[1], 1)))
         sh, sw = strip_rgb.shape[:2]
-        ink = (strip_rgb[..., 0] < 120).astype(np.uint8) * 255
         page[y0 : y0 + sh, x0 : x0 + sw] = strip_rgb
-        # GT mask: dilated ink so each line is one solid component
-        kernel = cv2.getStructuringElement(cv2.MORPH_RECT, (9, 5))
-        mask[y0 : y0 + sh, x0 : x0 + sw] = cv2.dilate(ink, kernel)
+        mask[y0 : y0 + sh, x0 : x0 + sw] = 255
         texts.append(tokens_to_text(tokens))
         token_lines.append(tokens)
 
     return SyntheticPage(page, mask, texts, token_lines)
+
+
+def extraction_matched_strip(
+    rng: np.random.RandomState,
+    glyphs: GlyphSet,
+    charset: tuple[str, ...] = WYLIE_CHARSET,
+    k_factor: float = 2.5,
+    bbox_tolerance: float = 4.0,
+    gap: tuple[int, int] = (50, 90),
+    tokens: list[str] | None = None,
+) -> tuple[np.ndarray, list[str]]:
+    """One recognizer training sample produced by the REAL strip-extraction
+    path: the target line rendered in page context (neighbour lines above
+    and below at page pitch) and cropped through geometry.get_line_image
+    with the pipeline's defaults (run_ocr k_factor/bbox_tolerance,
+    ocr_pipeline.py). Training inputs therefore carry exactly the eval-time
+    artefacts — dilation-scaled strip heights, surrounding paper, partial
+    neighbour ink, page-edge black — closing the train/eval distribution
+    gap that pure isolated strips leave open."""
+    from ocr_inference_tpu.geometry.lines import get_line_image
+
+    if tokens is None:
+        tokens = sample_tokens(rng, charset)
+    strip = render_line_strip(tokens, glyphs, rng)
+    h_line = glyphs.height
+    pitch = h_line + int(rng.randint(*gap))
+    margin = 60
+    sh, sw = strip.shape[:2]
+    canvas_w = sw + 2 * margin
+    canvas_h = 3 * pitch + 2 * margin
+    canvas = rng.randint(215, 250, (canvas_h, canvas_w, 3)).astype(np.uint8)
+    y_mid = margin + pitch
+    for row, y0 in ((0, margin), (1, y_mid), (2, margin + 2 * pitch)):
+        if row == 1:
+            s = strip
+            x0 = margin
+        else:
+            s = render_line_strip(sample_tokens(rng, charset), glyphs, rng)
+            s = s[:, : canvas_w - margin]
+            x0 = int(rng.randint(0, max(canvas_w - margin - s.shape[1], 1)))
+        canvas[y0 : y0 + s.shape[0], x0 : x0 + s.shape[1]] = s
+    contour = np.array(
+        [[[margin, y_mid]], [[margin + sw - 1, y_mid]],
+         [[margin + sw - 1, y_mid + sh - 1]], [[margin, y_mid + sh - 1]]],
+        dtype=np.int32,
+    )
+    img, _ = get_line_image(
+        canvas, contour, sh, bbox_tolerance=bbox_tolerance, k_factor=k_factor
+    )
+    return img, tokens
 
 
 # ---------------------------------------------------------------------------
@@ -202,15 +256,20 @@ def recognizer_batch(
     labels = np.zeros((batch, max_label), np.int32)
     label_lengths = np.zeros((batch,), np.int32)
     for b in range(batch):
-        tokens = sample_tokens(rng, charset)
-        while len(tokens) > max_label:
+        strip, tokens = extraction_matched_strip(rng, glyphs, charset)
+        if len(tokens) > max_label:
             tokens = tokens[: max_label - 1]
-        strip = render_line_strip(tokens, glyphs, rng)
+            strip, _ = extraction_matched_strip(
+                rng, glyphs, charset, tokens=tokens
+            )
         # keep the scaled width within the canvas
         scale = input_height / strip.shape[0]
         while strip.shape[1] * scale > width and len(tokens) > 2:
             tokens = tokens[: max(len(tokens) - 2, 2)]
-            strip = render_line_strip(tokens, glyphs, rng)
+            strip, _ = extraction_matched_strip(
+                rng, glyphs, charset, tokens=tokens
+            )
+            scale = input_height / strip.shape[0]
         canvas = pad_ocr_line_host(strip, width, input_height)
         gray = cv2.cvtColor(canvas, cv2.COLOR_RGB2GRAY)
         bw = cv2.adaptiveThreshold(

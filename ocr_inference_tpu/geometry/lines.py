@@ -208,11 +208,24 @@ class _LineRoi:
         if roi.ndim == 2:
             roi = roi[..., None]
         self.roi = roi
-        self.channels = [np.ascontiguousarray(roi[..., c])
-                         for c in range(roi.shape[2])]
         self.mask = np.zeros(roi.shape[:2], dtype=np.uint8)
         shifted = contour - np.array([[[x0, y0]]], dtype=contour.dtype)
         cv2.drawContours(self.mask, [shifted], -1, 255, -1)
+        # Native fast path: packed-bit attempts + fused masked crop
+        # (native/geometry.cpp, byte-parity pinned by
+        # tests/test_geometry_backend.py). Falls back to the cv2 path on
+        # exotic layouts (non-interleaved / non-uint8) or no toolchain.
+        self._packed = None
+        if geo.use_native():
+            try:
+                self._packed = geo._native_module().PackedLineRoi(
+                    roi, self.mask
+                )
+            except (ValueError, RuntimeError):
+                self._packed = None
+        if self._packed is None:
+            self.channels = [np.ascontiguousarray(roi[..., c])
+                             for c in range(roi.shape[2])]
 
     def attempt(self, bbox_h: int, k: float):
         """One dilation attempt; returns (strip_height, crop_fn).
@@ -233,6 +246,10 @@ class _LineRoi:
         k_size = int(bbox_h * k)
         kw = max(k_size, 1)
         kh = max(int(k_size * k), 1)
+        if self._packed is not None:
+            packed = self._packed
+            height = packed.attempt_height(kw, kh)
+            return height, lambda: packed.masked_crop(kw, kh)
         kernel = cv2.getStructuringElement(cv2.MORPH_RECT, (kw, kh))
         dilated = cv2.dilate(self.mask, kernel, iterations=1)
         # dilated is 0/255, so bitwise_and(channel, dilated) == the masked
@@ -391,6 +408,10 @@ def get_line_threshold(line_prediction: np.ndarray, slice_width: int = 20) -> fl
     (reference: line_detection.py:362-421)."""
     if line_prediction.ndim == 3:
         line_prediction = cv2.cvtColor(line_prediction, cv2.COLOR_BGR2GRAY)
+
+    native = geo.line_threshold(line_prediction, slice_width)
+    if native is not None:
+        return native
 
     x, y, w, h = geo.bounding_rect(line_prediction)
     x_steps = (w // slice_width) // 2

@@ -28,8 +28,8 @@ def _build_and_load(name: str, source: str) -> Optional[ctypes.CDLL]:
         if (not so_path.is_file()
                 or so_path.stat().st_mtime < src_path.stat().st_mtime):
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                 str(src_path), "-o", str(so_path)],
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-std=c++17", str(src_path), "-o", str(so_path)],
                 check=True,
                 capture_output=True,
             )
@@ -57,6 +57,10 @@ def _geometry_lib() -> Optional[ctypes.CDLL]:
         lib.ocr_convex_hull.restype = ctypes.c_int
         lib.ocr_arc_length.restype = ctypes.c_double
         lib.ocr_approx_poly_dp.restype = ctypes.c_int
+        lib.ocr_line_threshold.restype = ctypes.c_double
+        lib.ocr_attempt_height.restype = ctypes.c_int
+        lib.ocr_pack_line_bits.restype = None
+        lib.ocr_masked_crop.restype = None
         lib._configured = True
     return lib
 
@@ -71,7 +75,11 @@ def find_contours(mask: np.ndarray) -> list[np.ndarray]:
     lib = _geometry_lib()
     if lib is None:
         raise RuntimeError("native geometry library unavailable")
-    mask = np.ascontiguousarray((mask != 0).astype(np.uint8))
+    # the C++ side already treats any nonzero byte as foreground, so a
+    # uint8 mask needs no normalization pass (a full-page copy per call)
+    if mask.dtype != np.uint8:
+        mask = (mask != 0).astype(np.uint8)
+    mask = np.ascontiguousarray(mask)
     h, w = mask.shape
     max_points = int(4 * h * w + 64)
     max_contours = 65536
@@ -93,6 +101,114 @@ def find_contours(mask: np.ndarray) -> list[np.ndarray]:
         lo, hi = offsets[i], offsets[i + 1]
         out.append(points[2 * lo : 2 * hi].reshape(-1, 1, 2).copy())
     return out
+
+
+def line_threshold(mask: np.ndarray, slice_width: int = 20) -> float:
+    """The full slice-vote row-grouping threshold
+    (geometry/lines.py:get_line_threshold; reference
+    line_detection.py:362-421) in one native call — no per-slice Python
+    roundtrips, slice copies, or points buffers."""
+    lib = _geometry_lib()
+    if lib is None:
+        raise RuntimeError("native geometry library unavailable")
+    if mask.dtype != np.uint8:
+        mask = (mask != 0).astype(np.uint8)
+    if mask.ndim != 2:
+        raise ValueError("line_threshold expects a 2-D mask")
+    if mask.strides[1] != 1:
+        mask = np.ascontiguousarray(mask)
+    h, w = mask.shape
+    return float(
+        lib.ocr_line_threshold(
+            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            h,
+            w,
+            ctypes.c_int64(mask.strides[0]),
+            slice_width,
+        )
+    )
+
+
+_U8P = ctypes.POINTER(ctypes.c_uint8)
+_U64P = ctypes.POINTER(ctypes.c_uint64)
+_I32P = ctypes.POINTER(ctypes.c_int32)
+
+
+class PackedLineRoi:
+    """Packed-bit state for one line's adaptive-k strip extraction
+    (geometry/lines.py _LineRoi fast path; reference
+    line_detection.py:267-327). Bit rows are LSB-first u64 words; attempts
+    cost ~H*W/64 word ops in C++ instead of six cv2 byte passes, and the
+    accepted attempt's masked crop materializes in one fused pass."""
+
+    def __init__(self, roi: np.ndarray, mask: np.ndarray):
+        lib = _geometry_lib()
+        if lib is None:
+            raise RuntimeError("native geometry library unavailable")
+        if roi.ndim == 2:
+            roi = roi[..., None]
+        h, w, c = roi.shape
+        if roi.dtype != np.uint8 or (c > 1 and roi.strides[2] != 1) \
+                or roi.strides[1] < 0 or roi.strides[0] < 0:
+            raise ValueError("PackedLineRoi needs interleaved uint8")
+        mask = np.ascontiguousarray(mask)
+        self._lib = lib
+        self._roi = roi
+        self.h, self.w, self.c = h, w, c
+        self.nw = (w + 63) // 64
+        self.mask_bits = np.zeros(h * self.nw, np.uint64)
+        self.nz_bits = np.zeros(c * h * self.nw, np.uint64)
+        lib.ocr_pack_line_bits(
+            roi.ctypes.data_as(_U8P),
+            ctypes.c_int64(roi.strides[0]),
+            ctypes.c_int64(roi.strides[1]),
+            c,
+            mask.ctypes.data_as(_U8P),
+            ctypes.c_int64(mask.strides[0]),
+            h,
+            w,
+            self.nw,
+            self.mask_bits.ctypes.data_as(_U64P),
+            self.nz_bits.ctypes.data_as(_U64P),
+        )
+
+    def attempt_height(self, kw: int, kh: int) -> int:
+        return int(
+            self._lib.ocr_attempt_height(
+                self.mask_bits.ctypes.data_as(_U64P),
+                self.nz_bits.ctypes.data_as(_U64P),
+                self.c,
+                self.h,
+                self.nw,
+                kw,
+                kh,
+            )
+        )
+
+    def masked_crop(self, kw: int, kh: int) -> np.ndarray:
+        out = np.empty(self.h * self.w * self.c, np.uint8)
+        oh = ctypes.c_int(0)
+        ow = ctypes.c_int(0)
+        self._lib.ocr_masked_crop(
+            self._roi.ctypes.data_as(_U8P),
+            ctypes.c_int64(self._roi.strides[0]),
+            ctypes.c_int64(self._roi.strides[1]),
+            self.c,
+            self.mask_bits.ctypes.data_as(_U64P),
+            self.nz_bits.ctypes.data_as(_U64P),
+            self.h,
+            self.w,
+            self.nw,
+            kw,
+            kh,
+            out.ctypes.data_as(_U8P),
+            ctypes.byref(oh),
+            ctypes.byref(ow),
+        )
+        h2, w2 = oh.value, ow.value
+        if h2 == 0:
+            return np.zeros((0, self.w, self.c), np.uint8)
+        return out[: h2 * w2 * self.c].reshape(h2, w2, self.c).copy()
 
 
 def contour_area(contour: np.ndarray) -> float:

@@ -25,6 +25,20 @@
 #include <vector>
 #include <algorithm>
 
+#if defined(__x86_64__) || defined(_M_X64)
+#include <immintrin.h>
+#endif
+
+// 16-bit "byte is nonzero" mask of 16 contiguous bytes at p.
+#if defined(__SSE2__)
+static inline uint32_t nz16(const uint8_t* p) {
+    __m128i v = _mm_loadu_si128(reinterpret_cast<const __m128i*>(p));
+    uint32_t z = (uint32_t)_mm_movemask_epi8(
+        _mm_cmpeq_epi8(v, _mm_setzero_si128()));
+    return (~z) & 0xFFFFu;
+}
+#endif
+
 #ifndef M_PI
 #define M_PI 3.14159265358979323846
 #endif
@@ -54,7 +68,14 @@ static inline int dir_index(int di, int dj) {
 // records the visited border pixels in cv2's traversal order. Returns the
 // point sequence byte-identical to cv2's (RETR_LIST traversal order and
 // orientation), pinned by tests/test_reference_diff.py.
-static void follow_border(std::vector<int32_t>& F, int h, int w, int i,
+// F is an int8 label image: 0 background, 1 unvisited foreground, 2 any
+// positively-marked border, -1 any negatively-marked border. Suzuki-Abe
+// proper labels borders with distinct NBD values, but RETR_LIST emits no
+// hierarchy and every condition in this file tests only f==0 / f==1 /
+// f>=1 / sign — so collapsing all positive marks to 2 and negative marks
+// to -1 is exactly equivalent while moving 4x less label memory (the
+// full-page label fill+scan dominates find_contours wall time).
+static void follow_border(std::vector<int8_t>& F, int h, int w, int i,
                           int j, int i2, int j2, int32_t nbd,
                           std::vector<Point>& contour) {
     auto at = [&](int r, int c) -> int32_t {
@@ -75,7 +96,7 @@ static void follow_border(std::vector<int32_t>& F, int h, int w, int i,
         }
     }
     if (i1 < 0) {  // isolated pixel
-        F[(size_t)i * w + j] = -nbd;
+        F[(size_t)i * w + j] = -1;
         return;
     }
 
@@ -102,11 +123,11 @@ static void follow_border(std::vector<int32_t>& F, int h, int w, int i,
             if (d == 0) east_examined_zero = true;  // (i3, j3+1) was 0
         }
         // step 3.4: mark the current border pixel
-        int32_t& f3 = F[(size_t)i3 * w + j3];
+        int8_t& f3 = F[(size_t)i3 * w + j3];
         if (east_examined_zero)
-            f3 = -nbd;
+            f3 = -1;
         else if (f3 == 1)
-            f3 = nbd;
+            f3 = 2;
         // step 3.5: closing condition
         if (i4 == i && j4 == j && i3 == i1 && j3 == j1) return;
         i2 = i3;
@@ -379,7 +400,7 @@ extern "C" {
 int ocr_find_contours(const uint8_t* mask, int h, int w,
                       int32_t* out_points, int64_t max_points,
                       int64_t* out_offsets, int max_contours) {
-    std::vector<int32_t> F((size_t)h * w, 0);
+    std::vector<int8_t> F((size_t)h * w, 0);
     for (size_t p = 0; p < (size_t)h * w; ++p) F[p] = mask[p] ? 1 : 0;
 
     int n_contours = 0;
@@ -388,9 +409,23 @@ int ocr_find_contours(const uint8_t* mask, int h, int w,
     std::vector<Point> contour, packed;
 
     for (int i = 0; i < h; ++i) {
+        const int8_t* Frow = F.data() + (size_t)i * w;
         for (int j = 0; j < w; ++j) {
-            int32_t f = F[(size_t)i * w + j];
-            if (f == 0) continue;
+            // the raster discovery scan dominates wall time on sparse
+            // pages: hop zero runs a word at a time (exact — only f==0
+            // pixels are skipped, and they take no branch below)
+            if (Frow[j] == 0) {
+                ++j;
+                while (j + 8 <= w) {
+                    uint64_t blk;
+                    std::memcpy(&blk, Frow + j, 8);
+                    if (blk) break;
+                    j += 8;
+                }
+                while (j < w && Frow[j] == 0) ++j;
+                if (j >= w) break;
+            }
+            int32_t f = Frow[j];
             bool outer = (f == 1) && (j == 0 || F[(size_t)i * w + j - 1] == 0);
             bool hole =
                 (f >= 1) && (j == w - 1 || F[(size_t)i * w + j + 1] == 0);
@@ -786,5 +821,423 @@ void ocr_min_area_rect(const int32_t* points, int n, double* out5) {
     out5[2] = w;
     out5[3] = h;
     out5[4] = angle_deg;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Packed-bit line-strip extraction (geometry/lines.py _LineRoi; reference
+// line_detection.py:267-327). The adaptive-k loop's cost is dominated by
+// rect-kernel dilation + per-channel row profiles on the line ROI; on
+// 0/255 masks rect dilation is a window-OR, which on LSB-first u64 bit
+// rows is a shift-OR spread (horizontal, log(kw) word passes) plus a
+// Gil-Werman block prefix/suffix OR (vertical, O(1) rows per output row).
+// A rejected k attempt therefore costs ~H*W/64 word ops instead of six
+// full-ROI byte passes through cv2.
+// ---------------------------------------------------------------------------
+
+// out[i] = in shifted s bit positions toward HIGHER bit/col indices.
+static void shift_words_up(const uint64_t* in, uint64_t* out, int nw, int s) {
+    int ws = s >> 6, bs = s & 63;
+    for (int i = nw - 1; i >= 0; --i) {
+        uint64_t v = 0;
+        int src = i - ws;
+        if (src >= 0) {
+            v = in[src] << bs;
+            if (bs && src - 1 >= 0) v |= in[src - 1] >> (64 - bs);
+        }
+        out[i] = v;
+    }
+}
+
+static void shift_words_down(const uint64_t* in, uint64_t* out, int nw,
+                             int s) {
+    int ws = s >> 6, bs = s & 63;
+    for (int i = 0; i < nw; ++i) {
+        uint64_t v = 0;
+        int src = i + ws;
+        if (src < nw) {
+            v = in[src] >> bs;
+            if (bs && src + 1 < nw) v |= in[src + 1] << (64 - bs);
+        }
+        out[i] = v;
+    }
+}
+
+// x |= OR of x shifted by 1..n positions (doubling: log(n) passes).
+static void spread_or(uint64_t* x, uint64_t* tmp, int nw, int n, bool up) {
+    int covered = 0;
+    while (covered < n) {
+        int s = covered ? std::min(covered, n - covered) : 1;
+        if (up)
+            shift_words_up(x, tmp, nw, s);
+        else
+            shift_words_down(x, tmp, nw, s);
+        for (int i = 0; i < nw; ++i) x[i] |= tmp[i];
+        covered += s;
+    }
+}
+
+// Rect-kernel binary dilation of per-row bitmaps, cv2 anchor semantics:
+// kernel (kw, kh), anchor (kw/2, kh/2), so dilated(r, c) = OR of
+// mask(r + dy, c + dx) for dx in [-(kw/2), kw-1-kw/2], dy likewise —
+// i.e. a mask bit spreads UP by kw/2 columns and DOWN by kw-1-kw/2.
+// HD gets the horizontally spread rows; pre/suf get the Gil-Werman
+// block-OR tables (block size kh) for composing any vertical window.
+struct DilateTables {
+    std::vector<uint64_t> HD, pre, suf, tmp;
+    int h, nw, kh, ay;
+    void build(const uint64_t* mask_bits, int h_, int nw_, int kw, int kh_) {
+        h = h_;
+        nw = nw_;
+        kh = kh_ < 1 ? 1 : kh_;
+        ay = kh / 2;
+        HD.assign((size_t)h * nw, 0);
+        tmp.resize(nw);
+        std::memcpy(HD.data(), mask_bits, (size_t)h * nw * 8);
+        int ax = kw / 2;
+        for (int r = 0; r < h; ++r) {
+            uint64_t* row = HD.data() + (size_t)r * nw;
+            if (ax > 0) spread_or(row, tmp.data(), nw, ax, true);
+            if (kw - 1 - ax > 0)
+                spread_or(row, tmp.data(), nw, kw - 1 - ax, false);
+        }
+        pre.resize((size_t)h * nw);
+        suf.resize((size_t)h * nw);
+        for (int r = 0; r < h; ++r) {
+            const uint64_t* src = HD.data() + (size_t)r * nw;
+            uint64_t* dst = pre.data() + (size_t)r * nw;
+            if (r % kh == 0)
+                std::memcpy(dst, src, (size_t)nw * 8);
+            else {
+                const uint64_t* prev = pre.data() + (size_t)(r - 1) * nw;
+                for (int i = 0; i < nw; ++i) dst[i] = prev[i] | src[i];
+            }
+        }
+        for (int r = h - 1; r >= 0; --r) {
+            const uint64_t* src = HD.data() + (size_t)r * nw;
+            uint64_t* dst = suf.data() + (size_t)r * nw;
+            if (r % kh == kh - 1 || r == h - 1)
+                std::memcpy(dst, src, (size_t)nw * 8);
+            else {
+                const uint64_t* nxt = suf.data() + (size_t)(r + 1) * nw;
+                for (int i = 0; i < nw; ++i) dst[i] = nxt[i] | src[i];
+            }
+        }
+    }
+    // OR of HD rows in the clipped window around output row r, written
+    // into out (nw words).
+    void window(int r, uint64_t* out) const {
+        int lo = r - ay;
+        int hi = r + (kh - 1 - ay);
+        if (lo < 0) lo = 0;
+        if (hi > h - 1) hi = h - 1;
+        if (hi < lo) {
+            std::memset(out, 0, (size_t)nw * 8);
+            return;
+        }
+        int b1 = lo / kh, b2 = hi / kh;
+        const uint64_t* plo = suf.data() + (size_t)lo * nw;
+        const uint64_t* phi = pre.data() + (size_t)hi * nw;
+        if (b1 == b2) {
+            // full-size windows inside one block start AT the block start
+            // (block size == kh); clipped windows start at row 0 or end at
+            // h-1 — in every case one table alone is exact
+            if (lo % kh == 0)
+                std::memcpy(out, phi, (size_t)nw * 8);
+            else
+                std::memcpy(out, plo, (size_t)nw * 8);
+        } else {
+            for (int i = 0; i < nw; ++i) out[i] = plo[i] | phi[i];
+        }
+    }
+};
+
+extern "C" {
+
+// Pack a line ROI into LSB-first u64 bit rows: mask_bits (h x nw) from the
+// 0/255 contour mask, nz_bits (C x h x nw) marking nonzero image bytes.
+// roi strides are in bytes (rows / pixels); channels must be interleaved
+// with stride 1 (or C == 1).
+void ocr_pack_line_bits(const uint8_t* roi, int64_t rs, int64_t ps, int C,
+                        const uint8_t* mask, int64_t mask_rs, int h, int w,
+                        int nw, uint64_t* mask_bits, uint64_t* nz_bits) {
+    std::memset(mask_bits, 0, (size_t)h * nw * 8);
+    std::memset(nz_bits, 0, (size_t)C * h * nw * 8);
+    for (int r = 0; r < h; ++r) {
+        const uint8_t* mrow = mask + (size_t)r * mask_rs;
+        uint64_t* mb = mask_bits + (size_t)r * nw;
+        int j = 0;
+#if defined(__SSE2__)
+        for (; j + 16 <= w; j += 16)
+            mb[j >> 6] |= (uint64_t)nz16(mrow + j) << (j & 63);
+#endif
+        for (; j < w; ++j)
+            if (mrow[j]) mb[j >> 6] |= 1ull << (j & 63);
+        const uint8_t* irow = roi + (size_t)r * rs;
+        if (C == 1 && ps == 1) {
+            uint64_t* nb = nz_bits + (size_t)r * nw;
+            j = 0;
+#if defined(__SSE2__)
+            for (; j + 16 <= w; j += 16)
+                nb[j >> 6] |= (uint64_t)nz16(irow + j) << (j & 63);
+#endif
+            for (; j < w; ++j)
+                if (irow[j]) nb[j >> 6] |= 1ull << (j & 63);
+            continue;
+        }
+#if defined(__SSE2__) && defined(__BMI2__)
+        if (C == 3 && ps == 3) {
+            // Deinterleave RGB nonzero-ness: 48 bytes -> one 48-bit
+            // byte-nonzero mask, then PEXT with a stride-3 selector pulls
+            // each channel's 16 pixel bits out in order.
+            uint64_t* nb0 = nz_bits + ((size_t)0 * h + r) * nw;
+            uint64_t* nb1 = nz_bits + ((size_t)1 * h + r) * nw;
+            uint64_t* nb2 = nz_bits + ((size_t)2 * h + r) * nw;
+            const uint64_t SEL0 = 0x249249249249ull;  // bits 3k, k=0..15
+            j = 0;
+            for (; j + 16 <= w; j += 16) {
+                const uint8_t* p = irow + (size_t)j * 3;
+                uint64_t m = (uint64_t)nz16(p)
+                           | ((uint64_t)nz16(p + 16) << 16)
+                           | ((uint64_t)nz16(p + 32) << 32);
+                int sh = j & 63;  // j is a multiple of 16: never straddles
+                nb0[j >> 6] |= _pext_u64(m, SEL0) << sh;
+                nb1[j >> 6] |= _pext_u64(m, SEL0 << 1) << sh;
+                nb2[j >> 6] |= _pext_u64(m, SEL0 << 2) << sh;
+            }
+            for (; j < w; ++j) {
+                const uint8_t* p = irow + (size_t)j * 3;
+                if (p[0]) nb0[j >> 6] |= 1ull << (j & 63);
+                if (p[1]) nb1[j >> 6] |= 1ull << (j & 63);
+                if (p[2]) nb2[j >> 6] |= 1ull << (j & 63);
+            }
+            continue;
+        }
+#endif
+        for (int c = 0; c < C; ++c) {
+            uint64_t* nb = nz_bits + ((size_t)c * h + r) * nw;
+            const uint8_t* p = irow + c;
+            for (int j2 = 0; j2 < w; ++j2)
+                if (p[(size_t)j2 * ps]) nb[j2 >> 6] |= 1ull << (j2 & 63);
+        }
+    }
+}
+
+// Height (count of kept rows) of one dilation attempt: a row survives iff
+// EVERY channel has a nonzero byte under the dilated mask in that row
+// (mask_n_crop's np.delete semantics, lines.py _LineRoi.attempt).
+int ocr_attempt_height(const uint64_t* mask_bits, const uint64_t* nz_bits,
+                       int C, int h, int nw, int kw, int kh) {
+    DilateTables dt;
+    dt.build(mask_bits, h, nw, kw, kh);
+    std::vector<uint64_t> win(nw);
+    int height = 0;
+    for (int r = 0; r < h; ++r) {
+        dt.window(r, win.data());
+        bool all = true;
+        for (int c = 0; c < C && all; ++c) {
+            const uint64_t* nb = nz_bits + ((size_t)c * h + r) * nw;
+            bool any = false;
+            for (int i = 0; i < nw; ++i)
+                if (win[i] & nb[i]) {
+                    any = true;
+                    break;
+                }
+            all = any;
+        }
+        if (all) ++height;
+    }
+    return height;
+}
+
+// Materialize the accepted attempt's strip: kept rows x kept cols, bytes
+// masked by the dilated contour (byte-parity with the cv2 path:
+// bitwise_and(channel, dilated) -> row filter -> column filter -> stack).
+// out must hold h*w*C bytes; actual dims return via out_h/out_w.
+void ocr_masked_crop(const uint8_t* roi, int64_t rs, int64_t ps, int C,
+                     const uint64_t* mask_bits, const uint64_t* nz_bits,
+                     int h, int w, int nw, int kw, int kh, uint8_t* out,
+                     int* out_h, int* out_w) {
+    DilateTables dt;
+    dt.build(mask_bits, h, nw, kw, kh);
+    // Materialize every dilated row once (pass 1-3 all need them).
+    std::vector<uint64_t> WD((size_t)h * nw);
+    for (int r = 0; r < h; ++r) dt.window(r, WD.data() + (size_t)r * nw);
+    std::vector<uint8_t> rows_keep(h, 0);
+    std::vector<uint64_t> colbits((size_t)nw, ~0ull);
+    std::vector<uint64_t> ch_cols(nw);
+    int height = 0;
+    // pass 1: row profile
+    for (int r = 0; r < h; ++r) {
+        const uint64_t* win = WD.data() + (size_t)r * nw;
+        bool all = true;
+        for (int c = 0; c < C && all; ++c) {
+            const uint64_t* nb = nz_bits + ((size_t)c * h + r) * nw;
+            bool any = false;
+            for (int i = 0; i < nw; ++i)
+                if (win[i] & nb[i]) {
+                    any = true;
+                    break;
+                }
+            all = any;
+        }
+        if (all) {
+            rows_keep[r] = 1;
+            ++height;
+        }
+    }
+    if (height == 0) {
+        *out_h = 0;
+        *out_w = w;
+        return;
+    }
+    // pass 2: column profile over kept rows (per channel, then AND)
+    for (int c = 0; c < C; ++c) {
+        std::fill(ch_cols.begin(), ch_cols.end(), 0ull);
+        for (int r = 0; r < h; ++r) {
+            if (!rows_keep[r]) continue;
+            const uint64_t* win = WD.data() + (size_t)r * nw;
+            const uint64_t* nb = nz_bits + ((size_t)c * h + r) * nw;
+            for (int i = 0; i < nw; ++i) ch_cols[i] |= win[i] & nb[i];
+        }
+        for (int i = 0; i < nw; ++i) colbits[i] &= ch_cols[i];
+    }
+    std::vector<int32_t> rank(w, -1);
+    int w2 = 0;
+    for (int j = 0; j < w; ++j)
+        if (colbits[j >> 6] & (1ull << (j & 63))) rank[j] = w2++;
+    // pass 3: fill. Output row = zeros except where the dilated mask covers
+    // a kept column; a run of consecutive kept+dilated columns has
+    // consecutive ranks, so each run is one memcpy when pixels are
+    // contiguous (ps == C).
+    uint8_t* dst = out;
+    for (int r = 0; r < h; ++r) {
+        if (!rows_keep[r]) continue;
+        const uint64_t* win = WD.data() + (size_t)r * nw;
+        const uint8_t* irow = roi + (size_t)r * rs;
+        std::memset(dst, 0, (size_t)w2 * C);
+        for (int i = 0; i < nw; ++i) {
+            uint64_t word = win[i] & colbits[i];
+            while (word) {
+                int b = __builtin_ctzll(word);
+                uint64_t low = word >> b;
+                int len = (~low == 0ull) ? 64 - b : __builtin_ctzll(~low);
+                int j0 = i * 64 + b;
+                int run = len;
+                if (j0 + run > w) run = w - j0;
+                if (run > 0) {
+                    uint8_t* d = dst + (size_t)rank[j0] * C;
+                    if (ps == C) {
+                        std::memcpy(d, irow + (size_t)j0 * ps,
+                                    (size_t)run * C);
+                    } else {
+                        for (int t = 0; t < run; ++t) {
+                            const uint8_t* p = irow + (size_t)(j0 + t) * ps;
+                            for (int c = 0; c < C; ++c) *d++ = p[c];
+                        }
+                    }
+                }
+                if (b + len >= 64) break;
+                word &= ~0ull << (b + len);
+            }
+        }
+        dst += (size_t)w2 * C;
+    }
+    *out_h = height;
+    *out_w = w2;
+}
+}  // extern "C"
+
+extern "C" {
+
+// get_line_threshold (geometry/lines.py:389; reference
+// line_detection.py:362-421) as ONE native call. The Python loop pays a
+// Python->ctypes roundtrip, a slice copy, and a fresh points buffer for
+// every 20-px slice (~63 per page); here the full page mask is scanned in
+// place. Semantics are pinned to the slice loop: nonzero bbox of the mask,
+// per-slice Suzuki-Abe border counting (outer AND hole borders, exactly
+// ocr_find_contours' discovery loop), numpy-style column clipping for
+// slices that run off the page, first-maximum slice wins, and the result
+// is floor(median(bbox y-centers) / n_borders). Row stride is in bytes;
+// element stride must be 1.
+double ocr_line_threshold(const uint8_t* mask, int h, int w,
+                          int64_t row_stride, int slice_width) {
+    int minx = w, maxx = -1, miny = h, maxy = -1;
+    for (int i = 0; i < h; ++i) {
+        const uint8_t* row = mask + (size_t)i * row_stride;
+        int j = 0;
+        while (j < w && row[j] == 0) ++j;
+        if (j == w) continue;
+        if (j < minx) minx = j;
+        if (miny == h) miny = i;
+        maxy = i;
+        int k = w - 1;
+        while (k >= 0 && row[k] == 0) --k;
+        if (k > maxx) maxx = k;
+    }
+    if (maxx < 0) return 0.0;  // empty mask -> zero slices -> 0.0
+    int bx = minx, by = miny;
+    int bw = maxx - minx + 1, bh = maxy - miny + 1;
+    int x_steps = (bw / slice_width) / 2;
+
+    std::vector<int8_t> F;
+    std::vector<Point> contour;
+    std::vector<int32_t> centers, best_centers;
+    int best_n = -1;  // Python max() keeps the FIRST maximal slice
+    for (int step = 1; step <= x_steps; ++step) {
+        int64_t x_start = (int64_t)bx + (int64_t)x_steps * step;
+        int64_t x_end = x_start + slice_width;
+        int64_t c0 = std::min<int64_t>(std::max<int64_t>(x_start, 0), w);
+        int64_t c1 = std::min<int64_t>(std::max<int64_t>(x_end, 0), w);
+        int sw = (int)(c1 > c0 ? c1 - c0 : 0);
+        centers.clear();
+        if (sw > 0) {
+            F.assign((size_t)bh * sw, 0);
+            for (int i = 0; i < bh; ++i) {
+                const uint8_t* row =
+                    mask + (size_t)(by + i) * row_stride + c0;
+                int8_t* frow = F.data() + (size_t)i * sw;
+                for (int j = 0; j < sw; ++j) frow[j] = row[j] ? 1 : 0;
+            }
+            int32_t nbd = 1;
+            for (int i = 0; i < bh; ++i) {
+                for (int j = 0; j < sw; ++j) {
+                    int32_t f = F[(size_t)i * sw + j];
+                    if (f == 0) continue;
+                    bool outer = (f == 1) &&
+                                 (j == 0 || F[(size_t)i * sw + j - 1] == 0);
+                    bool hole =
+                        (f >= 1) &&
+                        (j == sw - 1 || F[(size_t)i * sw + j + 1] == 0);
+                    if (!outer && !hole) continue;
+                    ++nbd;
+                    int i2 = i, j2 = outer ? j - 1 : j + 1;
+                    contour.clear();
+                    follow_border(F, bh, sw, i, j, i2, j2, nbd, contour);
+                    // bbox of the uncompressed border == bbox of the
+                    // CHAIN_APPROX_SIMPLE contour (direction-change
+                    // filtering keeps every extremal pixel)
+                    int32_t cmin = contour[0].y, cmax = contour[0].y;
+                    for (const Point& p : contour) {
+                        if (p.y < cmin) cmin = p.y;
+                        if (p.y > cmax) cmax = p.y;
+                    }
+                    centers.push_back(cmin + (cmax - cmin + 1) / 2);
+                }
+            }
+        }
+        if ((int)centers.size() > best_n) {
+            best_n = (int)centers.size();
+            best_centers = centers;
+        }
+    }
+    if (best_n <= 0) return 0.0;
+    std::sort(best_centers.begin(), best_centers.end());
+    size_t n = best_centers.size();
+    double median = (n % 2) ? (double)best_centers[n / 2]
+                            : 0.5 * ((double)best_centers[n / 2 - 1] +
+                                     (double)best_centers[n / 2]);
+    return std::floor(median / (double)best_n);
 }
 }  // extern "C"

@@ -162,3 +162,41 @@ def test_cv2_fallback_available(cv2_backend):
     cnts = geo.find_contours(mask)
     assert len(cnts) == 5
     assert not geo.use_native()
+
+
+@needs_native
+def test_line_threshold_native_matches_slice_loop():
+    """The one-call native ocr_line_threshold must equal the per-slice
+    Python loop (itself cv2-parity-pinned) on random, striped, empty,
+    dense, and clipped-slice masks."""
+    from ocr_inference_tpu.geometry.lines import get_line_threshold
+
+    rng = np.random.default_rng(7)
+    for t in range(50):
+        h = int(rng.integers(6, 260))
+        w = int(rng.integers(6, 800))
+        kind = t % 4
+        if kind == 0:
+            m = (rng.random((h, w)) < 0.25).astype(np.uint8) * 255
+        elif kind == 1:
+            m = np.zeros((h, w), np.uint8)
+            for _ in range(int(rng.integers(1, 9))):
+                y0 = int(rng.integers(0, h))
+                hh = int(rng.integers(1, max(2, h // 6)))
+                x0 = int(rng.integers(0, w))
+                ww = int(rng.integers(1, w))
+                m[y0 : y0 + hh, x0 : x0 + ww] = 255
+        elif kind == 2:
+            m = np.zeros((h, w), np.uint8)
+        else:
+            m = (rng.random((h, w)) < 0.6).astype(np.uint8)  # 0/1 values
+        geo.set_backend(True)
+        try:
+            v_native = get_line_threshold(m)
+        finally:
+            geo.set_backend(False)
+        try:
+            v_loop = get_line_threshold(m)
+        finally:
+            geo.set_backend(None)
+        assert v_native == v_loop, (t, h, w, v_native, v_loop)

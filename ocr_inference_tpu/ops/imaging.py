@@ -80,8 +80,15 @@ def gaussian_blur_gray(gray: jax.Array, ksize: int, sigma: float = 0.0) -> jax.A
     x = x[None, None, :, :]  # NCHW
     kh = k.reshape(1, 1, ksize, 1)
     kw = k.reshape(1, 1, 1, ksize)
-    x = lax.conv_general_dilated(x, kh, (1, 1), "VALID")
-    x = lax.conv_general_dilated(x, kw, (1, 1), "VALID")
+    # HIGHEST precision: the TPU default lowers convs to bf16 MXU passes,
+    # which perturbs round(mean) at threshold boundaries (measured 152/640k
+    # pixel flips vs cv2); full-fp32 convs restore cv2 bit parity on chip.
+    x = lax.conv_general_dilated(
+        x, kh, (1, 1), "VALID", precision=lax.Precision.HIGHEST
+    )
+    x = lax.conv_general_dilated(
+        x, kw, (1, 1), "VALID", precision=lax.Precision.HIGHEST
+    )
     return x[0, 0]
 
 
@@ -133,6 +140,11 @@ def resize_bilinear(image: jax.Array, height: int, width: int) -> jax.Array:
     sampling (half-pixel centers, clamped borders, no antialiasing)
     (reference: BDRC/utils.py:438-442)."""
     h, w = image.shape[0], image.shape[1]
+    if (h, w) == (height, width):
+        # scale-1 INTER_LINEAR is the identity (half-pixel centers land on
+        # exact source pixels); skipping saves a 4-gather lerp over the
+        # whole page in the detection post program
+        return image
     out_dtype = image.dtype
     img = image.astype(jnp.float32)
 

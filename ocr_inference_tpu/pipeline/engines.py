@@ -94,6 +94,7 @@ class SegmentationEngine:
         mesh: Optional[Mesh] = None,
         use_pallas: Optional[bool] = None,
         pack_input: Optional[bool] = None,
+        fused_page: Optional[bool] = None,
     ):
         self.model = model
         self.variables = variables
@@ -113,6 +114,23 @@ class SegmentationEngine:
             # saturate the CPU), so auto mode keys on core count.
             pack_input = (os.cpu_count() or 1) > 2
         self.pack_input = pack_input
+        if fused_page is None:
+            env = os.environ.get("OCR_FUSED_DETECT")
+            if env is not None:
+                fused_page = env == "1"
+            else:
+                # One whole-page program minimizes dispatches and HBM
+                # round trips — the right default on a locally attached
+                # chip. Over the experimental axon relay, however,
+                # program-granular pipelining wins (separate pre/forward/
+                # post programs overlap transfer with execution; measured
+                # medians 7.2 vs 3.5 pages/s on the 12-page volume), so
+                # fused defaults off there.
+                try:
+                    fused_page = jax.devices()[0].platform != "axon"
+                except Exception:
+                    fused_page = True
+        self.fused_page = fused_page
         self._pre_cache = _ShapeLRU()
         self._post_cache = _ShapeLRU()
 
@@ -211,37 +229,83 @@ class SegmentationEngine:
             )
         return packing.pack_bits_host(bw)
 
+    def _post_body(self, logits_tiles, plan: tiling.PagePlan,
+                   threshold: float):
+        """Traceable post chain: logits tiles -> bit-packed page mask."""
+        if self.mode == "line":
+            # (N, p, p, 1) -> (N, p, p)
+            pred = jax.nn.sigmoid(logits_tiles[..., 0])
+            pred = jnp.where(pred > threshold, 1.0, 0.0)
+            merged = tiling.stitch_tiles(pred, plan.y_steps)
+            merged = tiling.crop_padding(merged, plan.pad_x, plan.pad_y)
+            out = imaging.resize_bilinear(merged, plan.orig_h, plan.orig_w)
+            # reference truncates (astype uint8) before *255
+            # (inference.py:178-181): >= 1.0 survives
+            return packing.pack_mask(out >= 1.0)
+        pred = jax.nn.softmax(logits_tiles, axis=-1)
+        pred = jnp.where(pred > threshold, 1.0, 0.0)
+        merged = tiling.stitch_tiles(pred, plan.y_steps)
+        merged = tiling.crop_padding(merged, plan.pad_x, plan.pad_y)
+        out = imaging.resize_bilinear(merged, plan.orig_h, plan.orig_w)
+        # (H, W, C) -> (C, H, W) so packing runs along W
+        return packing.pack_mask(jnp.transpose(out, (2, 0, 1)) >= 1.0)
+
     def _post_fn(self, plan: tiling.PagePlan, threshold: float, n_classes: int):
         key = (plan.orig_h, plan.orig_w, plan.padded_h, plan.padded_w,
                threshold, n_classes, self.mode)
 
         def build():
             def fn(logits_tiles):
-                if self.mode == "line":
-                    # (N, p, p, 1) -> (N, p, p)
-                    pred = jax.nn.sigmoid(logits_tiles[..., 0])
-                    pred = jnp.where(pred > threshold, 1.0, 0.0)
-                    merged = tiling.stitch_tiles(pred, plan.y_steps)
-                    merged = tiling.crop_padding(merged, plan.pad_x, plan.pad_y)
-                    out = imaging.resize_bilinear(
-                        merged, plan.orig_h, plan.orig_w
-                    )
-                    # reference truncates (astype uint8) before *255
-                    # (inference.py:178-181): >= 1.0 survives
-                    return packing.pack_mask(out >= 1.0)
-                pred = jax.nn.softmax(logits_tiles, axis=-1)
-                pred = jnp.where(pred > threshold, 1.0, 0.0)
-                merged = tiling.stitch_tiles(pred, plan.y_steps)
-                merged = tiling.crop_padding(merged, plan.pad_x, plan.pad_y)
-                out = imaging.resize_bilinear(merged, plan.orig_h, plan.orig_w)
-                # (H, W, C) -> (C, H, W) so packing runs along W
-                return packing.pack_mask(jnp.transpose(out, (2, 0, 1)) >= 1.0)
+                return self._post_body(logits_tiles, plan, threshold)
 
             if self.mesh is not None:
                 return jax.jit(fn, out_shardings=replicated(self.mesh))
             return jax.jit(fn)
 
         return self._post_cache.get(key, build)
+
+    def _fused_fn(self, plan: tiling.PagePlan, threshold: float,
+                  gray_input: bool):
+        """ONE jitted program for a whole page: u8 page -> packed mask words.
+
+        Fuses pre (pad / tile / binarize / normalize), the tiled forward,
+        and post (threshold / stitch / crop / resize / pack) into a single
+        dispatch with no intermediate HBM round trips. Over the device
+        tunnel the three-stage path pays per-call dispatch latency three
+        times and materializes a 75MB float tile stack between programs;
+        fused, the page costs one H2D (u8 gray), one program, one tiny D2H.
+        Only built when the page fits one forward chunk
+        (plan.n_tiles <= tile_chunk); bigger pages take the staged path."""
+        key = ("fused", plan.orig_h, plan.orig_w, plan.padded_h,
+               plan.padded_w, threshold, gray_input, self.mode)
+
+        def build():
+            def fn(variables, img):
+                padded = tiling.preprocess_page(img, plan)
+                tiles = tiling.tile_page(padded, self.patch_size)
+                if gray_input:
+                    tiles = tiles[..., 0]
+                if self.use_pallas:
+                    bw1 = pallas_kernels.binarize_tiles_pallas(tiles)
+                elif gray_input:
+                    bw1 = jax.vmap(imaging.adaptive_threshold_gaussian)(tiles)
+                else:
+                    bw1 = jax.vmap(imaging.binarize)(tiles)[..., 0]
+                x = jnp.repeat(bw1[..., None], 3, axis=-1)
+                # 0/255 -> exact 0.0/1.0 before any model-dtype cast
+                x = x.astype(jnp.float32) / 255.0
+                if self.mesh is not None:
+                    x = jax.lax.with_sharding_constraint(
+                        x, NamedSharding(self.mesh, P(DATA_AXIS))
+                    )
+                logits = self.model.apply(variables, x, train=False)
+                return self._post_body(logits, plan, threshold)
+
+            if self.mesh is not None:
+                return jax.jit(fn, out_shardings=replicated(self.mesh))
+            return jax.jit(fn)
+
+        return self._pre_cache.get(key, build)
 
     def _run_tiles(self, tiles: jax.Array) -> jax.Array:
         """Forward all tiles in fixed-size chunks.
@@ -312,6 +376,23 @@ class SegmentationEngine:
         inference.py:488-506)."""
         if class_threshold is None:
             class_threshold = 0.9 if self.mode == "line" else 0.8
+        h, w = image.shape[:2]
+        plan = tiling.plan_page(h, w, self.patch_size)
+        if (self.fused_page and plan.n_tiles <= self.tile_chunk
+                and not self.pack_input):
+            # single-chunk page: the whole detection chain is one program
+            arr = np.asarray(image)
+            gray_input = (
+                arr.ndim == 3
+                and (plan.resized_h, plan.resized_w)
+                == (plan.orig_h, plan.orig_w)
+            )
+            if gray_input:
+                arr = cv2.cvtColor(arr, cv2.COLOR_RGB2GRAY)[..., None]
+            packed_dev = self._fused_fn(plan, class_threshold, gray_input)(
+                self.variables, arr
+            )
+            return self._mask_resolver(packed_dev, w)
         plan, tiles = self._dispatch_tiles(image)
         logits = self._run_tiles(tiles)
         n_classes = logits.shape[-1]

@@ -99,9 +99,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument(
         "--mesh", default="off",
-        help="Data-parallel device mesh: 'off' (single device), 'auto' "
-             "(all devices), or an explicit device count. Batches of tiles "
-             "and lines are sharded over the mesh's data axis.",
+        help="Device mesh: 'off' (single device), 'auto' (all devices), an "
+             "explicit device count, or 'DxM' (data x model, e.g. '4x2') "
+             "for tensor-parallel recognizer heads. Batches of tiles and "
+             "lines are sharded over the data axis; the recognizer's vocab "
+             "head over the model axis.",
     )
     return parser
 
@@ -150,15 +152,22 @@ def main(argv=None):
         from ocr_inference_tpu.parallel import distributed_init, make_mesh
 
         distributed_init()
-        n = None if args.mesh == "auto" else int(args.mesh)
+        mp = 1
+        if args.mesh == "auto":
+            n = None
+        elif "x" in args.mesh:
+            d, m = args.mesh.lower().split("x", 1)
+            n, mp = int(d) * int(m), int(m)
+        else:
+            n = int(args.mesh)
         devices = jax.devices()
         if n is not None and len(devices) < n:
             # e.g. a virtual CPU mesh requested on a single-accelerator host
             devices = jax.local_devices(backend="cpu")
             jax.config.update("jax_default_device", devices[0])
         if (n or len(devices)) > 1:
-            mesh = make_mesh(n_devices=n, devices=devices)
-            print(f"Data-parallel mesh: {dict(mesh.shape)}")
+            mesh = make_mesh(n_devices=n, devices=devices, model_parallel=mp)
+            print(f"Device mesh: {dict(mesh.shape)}")
 
     pipeline = build_pipeline(
         ocr_model.config,

@@ -137,6 +137,25 @@ def replicate_params(mesh: Mesh, params: Any) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, replicated(mesh)), params)
 
 
+def shard_params_tp(
+    mesh: Mesh, variables: Any, head_module: str = "Conv_0"
+) -> Any:
+    """Place a flax variables dict (``{"params": ..., "batch_stats": ...}``)
+    on the mesh tensor-parallel: the recognizer head's leaves are split over
+    the model axis (``tp_shardings``), everything else replicated. XLA then
+    partitions the vocab-width head matmul across the model axis and
+    all-gathers logits only where a replicated output is demanded. With
+    ``model_parallel=1`` this is plain replication."""
+    shardings = {
+        col: tp_shardings(mesh, sub, head_module)
+        for col, sub in variables.items()
+    }
+    return {
+        col: jax.device_put(variables[col], shardings[col])
+        for col in variables
+    }
+
+
 def pad_to_multiple_of(batch: np.ndarray, multiple: int) -> tuple[np.ndarray, int]:
     """Pad the batch dim so it divides the data axis; returns (padded, n_pad)."""
     n = batch.shape[0]

@@ -49,6 +49,7 @@ from ocr_inference_tpu.parallel.mesh import (
     DATA_AXIS,
     replicate_params,
     replicated,
+    shard_params_tp,
 )
 
 
@@ -572,7 +573,12 @@ class RecognitionEngine:
         self.pack_input = pack_input
         self._dp = mesh.shape[DATA_AXIS] if mesh is not None else 1
         if mesh is not None:
-            self.variables = replicate_params(mesh, variables)
+            # tensor-parallel over the mesh's model axis when it has one:
+            # the vocab-width head conv is split across devices
+            # (parallel/mesh.py tp_shardings) and XLA partitions the head
+            # matmul, all-gathering logits only at the sharded-batch output
+            # boundary. A model axis of 1 degrades to plain replication.
+            self.variables = shard_params_tp(mesh, variables)
         self.ctc_decoder = CTCDecoder(
             config.charset, config.add_blank, kenlm_config=None
         )

@@ -13,11 +13,14 @@ benchmark numbers or weights; compute cost is architecture-shaped, not
 weight-shaped).
 
 Baseline: the reference is CPU-ONNXRuntime running the recognizer one line
-per call (BDRC/inference.py:630-635). ONNXRuntime is not installed here, so
-the baseline is measured as this framework's own pipeline executed on ONE
-CPU device with reference-style execution (per-line recognition, batch 1) —
-an optimistic stand-in for the reference (XLA CPU vs ORT CPU). The baseline
-measurement is cached in BASELINE_MEASURED.json.
+per call (BDRC/inference.py:630-635). ONNXRuntime is not installable here,
+so TWO stand-ins are measured and cached in BASELINE_MEASURED.json:
+- torch_cpu (PRIMARY, the vs_baseline denominator): the reference's
+  execution model re-implemented in torch eager CPU
+  (bench_torch_baseline.py) — an independent runtime with its own C++
+  kernels, architecture twins of the same nets;
+- xla_cpu: this framework itself on ONE CPU device in reference-style
+  per-line mode (continuity with round-1 numbers).
 """
 
 from __future__ import annotations
@@ -347,16 +350,20 @@ def measure_mfu(det_model, det_vars, rec_model, rec_vars,
             ),
         ),
     }
+    def sync(r):
+        # block_until_ready does NOT wait for remote execution over the
+        # axon tunnel (CLAUDE.md) — a value readback is the only real sync
+        float(jnp.sum(jnp.abs(r).astype(jnp.float32)))
+
     for name, (fn, variables, x) in stages.items():
         jf = jax.jit(fn)
         compiled = jf.lower(variables, x).compile()
         flops = _compiled_flops(compiled)
-        r = compiled(variables, x)
-        jax.block_until_ready(r)  # warm
+        sync(compiled(variables, x))  # warm
         start = time.perf_counter()
         for _ in range(iters):
             r = compiled(variables, x)
-        jax.block_until_ready(r)
+        sync(r)
         dt = (time.perf_counter() - start) / iters
         out[name] = {
             "batch": list(x.shape),
@@ -414,6 +421,40 @@ def measure_baseline() -> dict:
     }
 
 
+def measure_baseline_torch() -> dict:
+    """Reference-style CPU run in an INDEPENDENT runtime: torch eager CPU
+    (bench_torch_baseline.py) — per-line recognition, whole-tile-batch
+    detection, cv2 geometry. The closest available stand-in for the
+    reference's CPU ONNXRuntime sessions."""
+    from bench_torch_baseline import measure
+
+    charset = list("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ'")
+    return measure(make_volume(3), charset)
+
+
+def load_baselines() -> dict:
+    """Read (or measure and cache) both CPU baselines. Migrates the legacy
+    single-baseline file format in place."""
+    baselines: dict = {}
+    changed = False
+    if BASELINE_FILE.is_file():
+        data = json.loads(BASELINE_FILE.read_text())
+        if "pages_per_sec" in data:  # legacy: the XLA stand-in alone
+            baselines["xla_cpu"] = data
+            changed = True
+        else:
+            baselines = data
+    if "xla_cpu" not in baselines:
+        baselines["xla_cpu"] = measure_baseline()
+        changed = True
+    if "torch_cpu" not in baselines:
+        baselines["torch_cpu"] = measure_baseline_torch()
+        changed = True
+    if changed:
+        BASELINE_FILE.write_text(json.dumps(baselines, indent=2))
+    return baselines
+
+
 def main(argv=None):
     """Default (no args) = BASELINE config 4 (batched volume), the number
     the driver records. --config 1/2/3/5 run the other BASELINE.md
@@ -430,11 +471,8 @@ def main(argv=None):
 
     enable_compilation_cache()
 
-    if BASELINE_FILE.is_file():
-        baseline = json.loads(BASELINE_FILE.read_text())
-    else:
-        baseline = measure_baseline()
-        BASELINE_FILE.write_text(json.dumps(baseline, indent=2))
+    baselines = load_baselines()
+    baseline = baselines["torch_cpu"]
 
     # enable the fused Pallas image kernels when the chip compiles them
     # (one bounded out-of-process probe; persists via marker + XLA cache)
@@ -449,10 +487,15 @@ def main(argv=None):
         "unit": "pages/s",
         "baseline_pages_per_sec": round(baseline["pages_per_sec"], 4),
         # disclosed in-JSON (VERDICT r1 weak #3): ONNXRuntime is not
-        # installed here, so the baseline is this framework itself on one
-        # CPU device in reference-style per-line mode — the >=20x north
-        # star vs real CPU-ONNXRuntime remains unproven in this sandbox
+        # installable here, so the primary baseline is the reference's
+        # execution model in torch eager CPU (bench_torch_baseline.py) — an
+        # independent runtime with its own C++ kernels, the closest stand-in
+        # for CPU ONNXRuntime. The XLA-CPU stand-in (this framework itself,
+        # per-line on one CPU device) is reported alongside for continuity.
         "baseline_mode": baseline.get("mode", "unknown"),
+        "xla_cpu_baseline_pages_per_sec": round(
+            baselines["xla_cpu"]["pages_per_sec"], 4
+        ),
         "pages": args.pages,
         "page_shape": [PAGE_H, PAGE_W],
         "devices": n_dev,

@@ -43,6 +43,10 @@ def main(argv=None) -> int:
     ap.add_argument("--unet-width", type=int, default=32)
     ap.add_argument("--canvas-width", type=int, default=512)
     ap.add_argument("--log-every", type=int, default=50)
+    ap.add_argument("--lm-order", type=int, default=3,
+                    help="char-LM order for the beam+LM eval (0 disables)")
+    ap.add_argument("--lm-corpus-lines", type=int, default=500,
+                    help="synthetic corpus lines for the n-gram LM")
     args = ap.parse_args(argv)
 
     from ocr_inference_tpu.utils import enable_compilation_cache
@@ -155,6 +159,29 @@ def main(argv=None) -> int:
         patch_size=512,
         classes=["line"],
     )
+    # n-gram LM over the same synthetic text distribution: proves the
+    # KenLM-equivalent rescoring path (ARPA build -> native/Python scorer ->
+    # shallow-fusion beams) inside the end-to-end accuracy loop
+    kenlm_cfg = None
+    if args.lm_order > 0:
+        from ocr_inference_tpu.core.data import KenLMConfig
+        from ocr_inference_tpu.decode.ngram_builder import build_char_arpa
+        from ocr_inference_tpu.eval.synthetic import sample_tokens
+
+        lm_rng = np.random.RandomState(args.seed + 77)
+        corpus = [
+            " ".join(sample_tokens(lm_rng, charset))
+            for _ in range(args.lm_corpus_lines)
+        ]
+        arpa = build_char_arpa(
+            corpus, out / "lm.arpa", order=args.lm_order, tokens=True
+        )
+        kenlm_cfg = KenLMConfig(
+            kenlm_file=str(arpa), arpa_file=str(arpa), unigrams=None
+        )
+        log(f"[lm] built order-{args.lm_order} ARPA from "
+            f"{len(corpus)} lines -> {arpa}")
+
     # the trained UNet width must flow into the builder's template
     import ocr_inference_tpu.pipeline.builder as builder_mod
 
@@ -163,29 +190,63 @@ def main(argv=None) -> int:
         classes=classes, width=args.unet_width, dtype=dtype
     )
     try:
-        pipeline = build_pipeline(ocr_config, line_config)
+        pipeline = build_pipeline(
+            ocr_config, line_config, kenlm_config=kenlm_cfg
+        )
     finally:
         builder_mod.UNet = orig_unet
 
+    from ocr_inference_tpu.pipeline.ocr_pipeline import PipelineObserver
+
+    class StripCapture(PipelineObserver):
+        """Grabs the extracted strips so the beam/LM passes reuse the same
+        detection + geometry work instead of re-running the page."""
+
+        def __init__(self):
+            self.strips = []
+
+        def stage_end(self, stage, payload):
+            if stage == "extract_lines":
+                self.strips = payload[1]
+
+    def beam_text(beams) -> str:
+        return beams[0].text.strip().replace("§", " ") if beams else ""
+
     eval_rng = np.random.RandomState(args.seed + 10_000)
     preds, refs, per_page = [], [], []
+    preds_beam, preds_beam_lm = [], []
     lines_detected = 0
     failed_pages = 0
     t0 = time.perf_counter()
     for p in range(args.eval_pages):
         page = render_page(eval_rng, glyphs, charset)
+        capture = StripCapture()
         status, payload = pipeline.run_ocr(
-            page.image, target_encoding=Encoding.WYLIE
+            page.image, target_encoding=Encoding.WYLIE, observer=capture
         )
         ref_text = " ".join(page.texts)
         if status != OpStatus.SUCCESS:
             failed_pages += 1
             pred_text = ""
+            beam_joined = beam_lm_joined = ""
         else:
             _, sorted_lines, ocr_lines, _ = payload
             lines_detected += len(ocr_lines)
             pred_text = " ".join(l.text for l in ocr_lines)
+            beam_joined = beam_lm_joined = ""
+            if kenlm_cfg is not None and capture.strips:
+                rec_engine = pipeline.ocr_inference
+                plain = rec_engine.run_batch_beams(
+                    capture.strips, use_lm=False, top_k=1
+                )
+                fused = rec_engine.run_batch_beams(
+                    capture.strips, use_lm=True, top_k=1
+                )
+                beam_joined = " ".join(beam_text(b) for b in plain)
+                beam_lm_joined = " ".join(beam_text(b) for b in fused)
         preds.append(pred_text)
+        preds_beam.append(beam_joined)
+        preds_beam_lm.append(beam_lm_joined)
         refs.append(ref_text)
         page_cer = cer([pred_text], [ref_text])
         per_page.append(round(page_cer, 4))
@@ -207,6 +268,10 @@ def main(argv=None) -> int:
         "charset_size": len(charset),
         "backend": jax.default_backend(),
     }
+    if kenlm_cfg is not None:
+        result["cer_beam"] = round(cer(preds_beam, refs), 5)
+        result["cer_beam_lm"] = round(cer(preds_beam_lm, refs), 5)
+        result["lm_order"] = args.lm_order
     json_path = Path(args.json) if args.json else out / "EVAL.json"
     json_path.write_text(json.dumps(result) + "\n")
     print(json.dumps(result))

@@ -21,6 +21,7 @@ returned records carry the same payload as OCRPipeline.run_ocr.
 
 from __future__ import annotations
 
+import os
 import time
 from collections import deque
 from concurrent.futures import ThreadPoolExecutor
@@ -52,12 +53,23 @@ class VolumeRunner:
         self,
         pipeline: OCRPipeline,
         window_pages: int = 8,
-        prefetch_workers: int = 2,
-        geometry_workers: int = 2,
+        prefetch_workers: Optional[int] = None,
+        geometry_workers: Optional[int] = None,
     ):
+        # Auto worker counts key on host cores: on a 1-2 core host the
+        # extra threads only time-slice the same core (decode, geometry,
+        # window flush and the dispatch loop all contend), so overlap
+        # degrades into pure switching overhead. (2, 2) stays the default
+        # on real multi-core hosts — the sweep in docs/PERFORMANCE.md put
+        # it on top there.
+        ncpu = os.cpu_count() or 1
+        if geometry_workers is None:
+            geometry_workers = 2 if ncpu > 2 else 1
+        if prefetch_workers is None:
+            prefetch_workers = 2 if ncpu > 2 else 1
         self.pipeline = pipeline
         self.window_pages = max(1, window_pages)
-        self.prefetch_workers = prefetch_workers
+        self.prefetch_workers = max(1, prefetch_workers)
         self.geometry_workers = max(1, geometry_workers)
 
     # -- phase 1: one page to strips --

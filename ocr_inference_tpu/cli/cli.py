@@ -130,10 +130,25 @@ def main(argv=None):
 
     # Line/layout config (reference: cli.py:56-65, de-bugged)
     if args.line_model:
+        line_model = args.line_model
+        if os.path.isdir(line_model):
+            # accept the HF model-directory layout (one *.json config
+            # inside), same resolution download_model performs
+            # (reference: BDRC/utils.py:116-129)
+            configs = sorted(
+                f for f in os.listdir(line_model) if f.endswith(".json")
+                and not f.endswith(".msgpack.json")
+            )
+            if len(configs) != 1:
+                sys.exit(
+                    f"--line-model dir must contain exactly one config "
+                    f"json, found {configs} in {line_model}"
+                )
+            line_model = os.path.join(line_model, configs[0])
         if args.line_mode == "line":
-            line_config = read_line_model_config(args.line_model)
+            line_config = read_line_model_config(line_model)
         else:
-            line_config = read_layout_model_config(args.line_model)
+            line_config = read_layout_model_config(line_model)
     else:
         line_config = (
             default_line_config()

@@ -47,6 +47,9 @@ def main(argv=None) -> int:
                     help="char-LM order for the beam+LM eval (0 disables)")
     ap.add_argument("--lm-corpus-lines", type=int, default=500,
                     help="synthetic corpus lines for the n-gram LM")
+    ap.add_argument("--weights", default=None,
+                    help="reuse trained weights from DIR (recognizer.msgpack"
+                         " + lines.msgpack): skip training, eval only")
     args = ap.parse_args(argv)
 
     from ocr_inference_tpu.utils import enable_compilation_cache
@@ -80,6 +83,32 @@ def main(argv=None) -> int:
     vocab = len(charset) + 1
 
     log = lambda *a: print(*a, file=sys.stderr, flush=True)  # noqa: E731
+
+    # ------------------------------------------------------------------
+    # 0. eval-only: reuse weights from a previous run (--weights DIR)
+    # ------------------------------------------------------------------
+    if args.weights:
+        import shutil
+
+        from ocr_inference_tpu.models.params import load_meta
+
+        wdir = Path(args.weights)
+        for name in ("recognizer.msgpack", "lines.msgpack"):
+            src = wdir / name
+            if not src.is_file():
+                sys.exit(f"--weights: {src} not found")
+            if src.resolve() != (out / name).resolve():
+                shutil.copy2(src, out / name)
+                side = Path(str(src) + ".json")
+                if side.is_file():
+                    shutil.copy2(side, Path(str(out / name) + ".json"))
+        meta = load_meta(out / "lines.msgpack") or {}
+        args.unet_width = int(meta.get("width", args.unet_width))
+        rec_loss = seg_loss = 0.0
+        rec_steps_run = seg_steps_run = 0
+        log(f"[weights] reusing {wdir} (training skipped)")
+        return _run_eval(args, out, charset, glyphs, rec_loss, seg_loss,
+                         rec_steps_run, seg_steps_run, log)
 
     # ------------------------------------------------------------------
     # 1. train the recognizer (Easter2, CTC)
@@ -134,6 +163,25 @@ def main(argv=None) -> int:
     save_params(seg_vars, out / "lines.msgpack",
                 meta={"architecture": "unet", "width": args.unet_width})
     log(f"[seg] trained in {time.perf_counter() - t0:.1f}s; loss {seg_loss:.4f}")
+
+    return _run_eval(args, out, charset, glyphs, rec_loss, seg_loss,
+                     args.rec_steps, args.seg_steps, log)
+
+
+def _run_eval(args, out, charset, glyphs, rec_loss, seg_loss,
+              rec_steps_run, seg_steps_run, log):
+    """Stage 3: full pipeline on held-out pages -> CER + result JSON (shared by train-then-eval and --weights eval-only)."""
+    import time
+
+    import jax
+
+    from ocr_inference_tpu.core.data import (
+        CharsetEncoder, Encoding, LineDetectionConfig, OCRModelConfig,
+        OpStatus,
+    )
+    from ocr_inference_tpu.eval.cer import cer
+    from ocr_inference_tpu.eval.synthetic import render_page, sample_tokens
+    from ocr_inference_tpu.pipeline.builder import build_pipeline
 
     # ------------------------------------------------------------------
     # 3. full pipeline on held-out pages -> CER
@@ -259,8 +307,8 @@ def main(argv=None) -> int:
         "pages": args.eval_pages,
         "failed_pages": failed_pages,
         "lines_detected": lines_detected,
-        "rec_steps": args.rec_steps,
-        "seg_steps": args.seg_steps,
+        "rec_steps": rec_steps_run,
+        "seg_steps": seg_steps_run,
         "rec_loss": round(rec_loss, 5),
         "seg_loss": round(seg_loss, 5),
         "eval_seconds": round(eval_s, 2),

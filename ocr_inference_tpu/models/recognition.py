@@ -68,15 +68,19 @@ class MHSABlock(nn.Module):
     features: int
     heads: int = 8
     dtype: Dtype = jnp.float32
+    # torch checkpoints use eps=1e-5; flax defaults to 1e-6 — the weight
+    # transplanter (onnx/transplant.py) refuses a mismatch, so imports
+    # construct the module with the checkpoint's epsilon
+    ln_eps: float = 1e-6
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = nn.LayerNorm(dtype=self.dtype)(x)
+        y = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype)(x)
         y = nn.MultiHeadDotProductAttention(
             num_heads=self.heads, dtype=self.dtype
         )(y, y)
         x = x + y
-        y = nn.LayerNorm(dtype=self.dtype)(x)
+        y = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype)(x)
         y = nn.Dense(self.features * 4, dtype=self.dtype)(y)
         y = nn.gelu(y)
         y = nn.Dense(self.features, dtype=self.dtype)(y)
@@ -105,6 +109,7 @@ class Easter2(nn.Module):
     variant: str = "base"
     stem_features: int = 128
     dtype: Dtype = jnp.bfloat16
+    ln_eps: float = 1e-6  # see MHSABlock.ln_eps
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -128,7 +133,9 @@ class Easter2(nn.Module):
         if self.variant in ("attention", "vit"):
             depth = 2 if self.variant == "attention" else 4
             for _ in range(depth):
-                x = MHSABlock(512, dtype=self.dtype)(x, train)
+                x = MHSABlock(512, dtype=self.dtype, ln_eps=self.ln_eps)(
+                    x, train
+                )
 
         x = ConvBN1D(512, kernel=11, dilation=2, dtype=self.dtype)(x, train)
         x = ConvBN1D(512, kernel=1, dtype=self.dtype)(x, train)
@@ -180,7 +187,14 @@ class CRNN(nn.Module):
 
         for _ in range(2):
             fwd = nn.RNN(nn.GRUCell(self.hidden, dtype=self.dtype))
-            bwd = nn.RNN(nn.GRUCell(self.hidden, dtype=self.dtype), reverse=True)
+            # keep_order=True gives standard BiGRU alignment (the backward
+            # pass's output at t summarizes the suffix from t), matching
+            # torch nn.GRU(bidirectional=True) — pinned by the CRNN weight
+            # transplant cross-validation in tests/test_transplant.py
+            bwd = nn.RNN(
+                nn.GRUCell(self.hidden, dtype=self.dtype),
+                reverse=True, keep_order=True,
+            )
             x = jnp.concatenate([fwd(x), bwd(x)], axis=-1)
 
         logits = nn.Dense(self.vocab_size, dtype=jnp.float32)(

@@ -43,7 +43,7 @@ from ocr_inference_tpu.onnx import wire
 
 @dataclass
 class WeightedOp:
-    kind: str  # "conv" | "bn" | "dense"
+    kind: str  # "conv" | "bn" | "dense" | "gru"
     node: wire.Node
     kernel: Optional[np.ndarray] = None
     bias: Optional[np.ndarray] = None
@@ -53,17 +53,29 @@ class WeightedOp:
     epsilon: float = 1e-5
     trans_b: bool = False
     output: str = ""
+    # gru: recurrent kernel R (num_dirs, 3H, H); kernel holds W
+    # (num_dirs, 3H, I), bias holds B (num_dirs, 6H)
+    rec_kernel: Optional[np.ndarray] = None
+    num_dirs: int = 1
+    linear_before_reset: bool = False
 
 
 def onnx_weighted_ops(model: wire.Model) -> list[WeightedOp]:
-    """Conv / BatchNormalization / Gemm / MatMul(+Add) ops carrying weights,
-    in graph node order."""
+    """Conv / BatchNormalization / Gemm / MatMul(+Add) / GRU ops carrying
+    weights, in graph node order."""
     graph = model.graph
     inits = {name: t.to_numpy() for name, t in graph.initializers.items()}
-    # non-folding exports route weights through Identity/Constant nodes
+    # non-folding exports route weights through Identity/Constant nodes,
+    # and Linear-on-3D weights through a Transpose ((out,in) initializer ->
+    # MatMul's (in,out) operand) — resolve all three so the weighted-op scan
+    # sees the tensor the consuming node actually receives
     for node in graph.nodes:
         if node.op_type == "Identity" and node.inputs[0] in inits:
             inits[node.outputs[0]] = inits[node.inputs[0]]
+        elif node.op_type == "Transpose" and node.inputs[0] in inits:
+            w = inits[node.inputs[0]]
+            perm = node.attr("perm") or list(range(w.ndim))[::-1]
+            inits[node.outputs[0]] = np.transpose(w, perm)
         elif node.op_type == "Constant" and node.outputs[0] not in inits:
             t = node.attr("value")
             if t is not None:
@@ -112,6 +124,37 @@ def onnx_weighted_ops(model: wire.Model) -> list[WeightedOp]:
                     output=node.outputs[0],
                 )
             )
+        elif node.op_type == "LayerNormalization" and node.inputs[1] in inits:
+            ops.append(
+                WeightedOp(
+                    "ln",
+                    node,
+                    scale=inits[node.inputs[1]],
+                    bias=inits.get(node.inputs[2])
+                    if len(node.inputs) > 2 and node.inputs[2]
+                    else None,
+                    epsilon=float(node.attr("epsilon", 1e-5)),
+                    output=node.outputs[0],
+                )
+            )
+        elif node.op_type == "GRU" and node.inputs[1] in inits:
+            w = inits[node.inputs[1]]  # (num_dirs, 3H, I), gates z|r|h
+            ops.append(
+                WeightedOp(
+                    "gru",
+                    node,
+                    kernel=w,
+                    rec_kernel=inits[node.inputs[2]],
+                    bias=inits.get(node.inputs[3])
+                    if len(node.inputs) > 3 and node.inputs[3]
+                    else None,
+                    num_dirs=w.shape[0],
+                    linear_before_reset=bool(
+                        node.attr("linear_before_reset", 0)
+                    ),
+                    output=node.outputs[0] if node.outputs else "",
+                )
+            )
         elif node.op_type == "MatMul" and node.inputs[1] in inits:
             op = WeightedOp(
                 "dense", node, kernel=inits[node.inputs[1]],
@@ -141,30 +184,48 @@ def onnx_weighted_ops(model: wire.Model) -> list[WeightedOp]:
 
 @dataclass
 class FlaxLayer:
-    kind: str  # "conv" | "bn" | "dense"
+    kind: str  # "conv" | "bn" | "dense" | "gru" | "ln"
     path: tuple[str, ...]
     has_bias: bool = False
     folded_from_conv: bool = False  # set during matching
+    epsilon: Optional[float] = None  # ln only
 
 
-_LEAF_KINDS = {nn.Conv: "conv", nn.BatchNorm: "bn", nn.Dense: "dense"}
+_LEAF_KINDS = {nn.Conv: "conv", nn.BatchNorm: "bn", nn.Dense: "dense",
+               nn.DenseGeneral: "dense", nn.GRUCell: "gru",
+               nn.LayerNorm: "ln"}
 
 
 def flax_execution_order(
     module: nn.Module, variables, sample_x, **apply_kwargs
 ) -> list[FlaxLayer]:
-    """Weighted leaf layers (Conv/BatchNorm/Dense) in execution order,
-    recorded with an interceptor around a real forward pass."""
+    """Weighted leaf layers (Conv/BatchNorm/Dense/GRUCell) in execution
+    order, recorded with an interceptor around a real forward pass. A
+    GRUCell is one unit: its six internal gate Dense layers are owned by
+    the cell, not matched individually (they arrive as ONE ONNX GRU node
+    direction)."""
     seen: list[FlaxLayer] = []
+    cell_paths: list[tuple[str, ...]] = []
 
     def interceptor(next_fun, args, kwargs, context):
         mod = context.module
         kind = _LEAF_KINDS.get(type(mod))
         if kind is not None and context.method_name == "__call__":
             path = tuple(p for p in mod.path)
-            if not seen or seen[-1].path != path:
+            inside_cell = any(
+                path[: len(c)] == c and path != c for c in cell_paths
+            )
+            if not inside_cell and (not seen or seen[-1].path != path):
                 has_bias = bool(getattr(mod, "use_bias", True))
-                seen.append(FlaxLayer(kind, path, has_bias=has_bias))
+                seen.append(
+                    FlaxLayer(
+                        kind, path, has_bias=has_bias,
+                        epsilon=getattr(mod, "epsilon", None)
+                        if kind == "ln" else None,
+                    )
+                )
+                if kind == "gru":
+                    cell_paths.append(path)
         return next_fun(*args, **kwargs)
 
     with nn.intercept_methods(interceptor):
@@ -176,16 +237,24 @@ def flax_execution_order(
 # Matching + assignment
 # ---------------------------------------------------------------------------
 
-def _set_in(tree: dict, path: tuple[str, ...], leaf_name: str, value):
+def _set_in(tree: dict, path: tuple[str, ...], leaf_name: str, value,
+            reshape_ok: bool = False):
     node = tree
     for p in path:
         node = node[p]
     old = node[leaf_name]
     if tuple(old.shape) != tuple(value.shape):
-        raise ValueError(
-            f"shape mismatch at {'/'.join(path)}/{leaf_name}: "
-            f"flax {tuple(old.shape)} vs onnx {tuple(value.shape)}"
-        )
+        # DenseGeneral packs the embed dim into (heads, head_dim) axes; a
+        # row-major reshape of the 2-D exporter matrix is exactly torch's
+        # contiguous head packing, so size-preserving reshapes are sound
+        # for dense kernels/biases (and only requested for them)
+        if reshape_ok and old.size == np.prod(value.shape):
+            value = np.asarray(value).reshape(old.shape)
+        else:
+            raise ValueError(
+                f"shape mismatch at {'/'.join(path)}/{leaf_name}: "
+                f"flax {tuple(old.shape)} vs onnx {tuple(value.shape)}"
+            )
     node[leaf_name] = jnp.asarray(value, dtype=old.dtype)
 
 
@@ -261,8 +330,44 @@ def transplant(
     batch_stats = tree.get("batch_stats", {})
     report = TransplantReport()
 
+    def _set_gru_direction(path: tuple[str, ...], op: WeightedOp, d: int):
+        """Assign direction ``d`` of an ONNX GRU node to the flax GRUCell at
+        ``path``. ONNX gate order is z|r|h over rows of W/R; B is
+        [Wb_z Wb_r Wb_h Rb_z Rb_r Rb_h] (one row per direction). Flax
+        GRUCell computes r/z with a single input-side bias (so Wb+Rb fold
+        together) and n = tanh(in(x) + r * hn(h)) with hn carrying its own
+        bias — exactly ONNX's linear_before_reset=1 form (what the torch
+        exporter emits for nn.GRU)."""
+        if not op.linear_before_reset:
+            raise ValueError(
+                "GRU with linear_before_reset=0 does not map onto "
+                "flax.linen.GRUCell (reset applied after the hidden matmul)"
+            )
+        hidden = op.rec_kernel.shape[-1]
+        w, r = op.kernel[d], op.rec_kernel[d]
+        b = (
+            op.bias[d]
+            if op.bias is not None
+            else np.zeros(6 * hidden, np.float32)
+        )
+        wz, wr, wh = np.split(w, 3, axis=0)
+        rz, rr, rh = np.split(r, 3, axis=0)
+        wbz, wbr, wbh, rbz, rbr, rbh = np.split(b, 6)
+        for sub, kernel, bias in (
+            ("iz", wz.T, wbz + rbz),
+            ("ir", wr.T, wbr + rbr),
+            ("in", wh.T, wbh),
+            ("hz", rz.T, None),
+            ("hr", rr.T, None),
+            ("hn", rh.T, rbh),
+        ):
+            _set_in(params, path + (sub,), "kernel", kernel)
+            if bias is not None:
+                _set_in(params, path + (sub,), "bias", bias)
+
     oi = 0
     li = 0
+    gru_dir = 0  # direction cursor within the current (bidirectional) GRU op
     while li < len(layers):
         layer = layers[li]
         path_str = "/".join(layer.path)
@@ -334,6 +439,29 @@ def transplant(
                     TransplantEntry(path_str, op.node.name, op.output, "bn")
                 )
                 oi += 1
+        elif layer.kind == "gru":
+            if oi >= len(ops) or ops[oi].kind != "gru":
+                raise ValueError(
+                    f"graph op {oi} is "
+                    f"{ops[oi].kind if oi < len(ops) else 'EOF'}, "
+                    f"expected gru for {path_str}"
+                )
+            op = ops[oi]
+            _set_gru_direction(layer.path, op, gru_dir)
+            report.entries.append(
+                TransplantEntry(
+                    path_str, op.node.name,
+                    # the GRU node's raw Y layout (seq, dirs, batch, H)
+                    # never aligns with a flax capture — skip per-layer
+                    # verification; the final-output diff covers it
+                    "",
+                    f"gru[d{gru_dir}]",
+                )
+            )
+            gru_dir += 1
+            if gru_dir >= op.num_dirs:
+                gru_dir = 0
+                oi += 1
         elif layer.kind == "dense":
             if oi >= len(ops) or ops[oi].kind != "dense":
                 raise ValueError(
@@ -345,11 +473,38 @@ def transplant(
             kernel = op.kernel
             if op.node.op_type == "Gemm" and op.trans_b:
                 kernel = kernel.T  # (out,in) -> (in,out)
-            _set_in(params, layer.path, "kernel", kernel)
+            _set_in(params, layer.path, "kernel", kernel, reshape_ok=True)
+            if op.bias is not None:
+                _set_in(params, layer.path, "bias", op.bias, reshape_ok=True)
+            report.entries.append(
+                TransplantEntry(path_str, op.node.name, op.output, "dense")
+            )
+            oi += 1
+        elif layer.kind == "ln":
+            if oi >= len(ops) or ops[oi].kind != "ln":
+                raise ValueError(
+                    f"graph op {oi} is "
+                    f"{ops[oi].kind if oi < len(ops) else 'EOF'}, "
+                    f"expected ln for {path_str}"
+                )
+            op = ops[oi]
+            # LayerNorm's epsilon sits inside a data-dependent variance —
+            # unlike BatchNorm there is no stored statistic to shift, so the
+            # module hyperparameter must already agree with the checkpoint
+            if (
+                layer.epsilon is not None
+                and abs(layer.epsilon - op.epsilon) > 1e-12
+            ):
+                raise ValueError(
+                    f"LayerNorm epsilon mismatch at {path_str}: flax "
+                    f"{layer.epsilon} vs onnx {op.epsilon}; construct the "
+                    f"module with epsilon={op.epsilon}"
+                )
+            _set_in(params, layer.path, "scale", op.scale)
             if op.bias is not None:
                 _set_in(params, layer.path, "bias", op.bias)
             report.entries.append(
-                TransplantEntry(path_str, op.node.name, op.output, "dense")
+                TransplantEntry(path_str, op.node.name, op.output, "ln")
             )
             oi += 1
         li += 1

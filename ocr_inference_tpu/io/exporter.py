@@ -64,19 +64,67 @@ class Exporter(abc.ABC):
         )
 
 
-class PageXMLExporter(Exporter):
-    """PageXML writer (reference: BDRC/exporter.py:116-276)."""
+def _xml_text(s: str) -> str:
+    """minidom text-node escaping (&, <, > only)."""
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
-    def get_text_line_block(self, coordinate: str, index: int, unicode_text: str):
-        text_line = etree.Element("TextLine")
-        text_line.attrib["id"] = f"line_9874_{str(index)}"
-        text_line.attrib["custom"] = f"readingOrder {{index: {str(index)};}}"
-        coords_points = etree.SubElement(text_line, "Coords")
-        coords_points.attrib["points"] = coordinate
-        text_equiv = etree.SubElement(text_line, "TextEquiv")
-        unicode_field = etree.SubElement(text_equiv, "Unicode")
-        unicode_field.text = unicode_text
-        return text_line
+
+def _xml_attr(s: str) -> str:
+    """minidom attribute-value escaping (text escapes plus double quotes)."""
+    return _xml_text(s).replace('"', "&quot;")
+
+
+# The PcGts byte contract, as one golden template. Transkribus and the BDRC
+# tooling consume these files verbatim, so the namespace URIs, the magic
+# region/line ids ("region_main", "line_9874_<i>", "1234_0"), the
+# Creator string, and minidom-toprettyxml's tab indentation are all part of
+# the on-disk format (reference: BDRC/exporter.py:162-233; byte equality
+# with the reference output is pinned by tests/test_reference_diff.py).
+_PAGE_XML_TEMPLATE = """<?xml version="1.0" ?>
+<PcGts xmlns="http://schema.primaresearch.org/PAGE/gts/pagecontent/2013-07-15" xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance" xsi:schemaLocation="http://schema.primaresearch.org/PAGE/gts/pagecontent/2013-07-15 http://schema.primaresearch.org/PAGE/gts/pagecontent/2013-07-15/pagecontent.xsd">
+\t<Metadata>
+\t\t<Creator>Transkribus</Creator>
+\t\t<Created>{created}</Created>
+\t</Metadata>
+\t<Page imageFilename="{image_name}" imageWidth="{width}" imageHeight="{height}">
+\t\t<ReadingOrder>
+\t\t\t<OrderedGroup id="1234_0" caption="Regions reading order"/>
+\t\t\t<RegionRefIndexed index="0" regionRef="region_main"/>
+\t\t</ReadingOrder>
+\t\t<TextRegion id="region_main" custom="readingOrder {{index:0;}}">
+\t\t\t<Coords points="{text_bbox}"/>
+{text_lines}\t\t</TextRegion>
+\t</Page>
+</PcGts>
+"""
+
+_TEXT_LINE_TEMPLATE = """\t\t\t<TextLine id="line_9874_{index}" custom="readingOrder {{index: {index};}}">
+\t\t\t\t<Coords points="{points}"/>
+\t\t\t\t<TextEquiv>
+\t\t\t\t\t{unicode}
+\t\t\t\t</TextEquiv>
+\t\t\t</TextLine>
+"""
+
+
+class PageXMLExporter(Exporter):
+    """PageXML writer (reference: BDRC/exporter.py:116-276).
+
+    The document is rendered from the golden templates above rather than
+    rebuilt element by element — the byte contract IS the format, so the
+    template states it directly."""
+
+    def get_text_line_block(
+        self, coordinate: str, index: int, unicode_text: str
+    ) -> str:
+        unicode_el = (
+            f"<Unicode>{_xml_text(unicode_text)}</Unicode>"
+            if unicode_text
+            else "<Unicode/>"
+        )
+        return _TEXT_LINE_TEMPLATE.format(
+            index=index, points=_xml_attr(coordinate), unicode=unicode_el
+        )
 
     def build_xml_document(
         self,
@@ -86,64 +134,24 @@ class PageXMLExporter(Exporter):
         lines: List[str],
         text_lines: Optional[List[OCRLine]],
     ) -> str:
-        from xml.dom import minidom
-
-        root = etree.Element("PcGts")
-        root.attrib["xmlns"] = (
-            "http://schema.primaresearch.org/PAGE/gts/pagecontent/2013-07-15"
+        blocks = [
+            self.get_text_line_block(
+                coordinate=line,
+                index=l_idx,
+                unicode_text=(
+                    text_lines[l_idx].text if text_lines else ""
+                ),
+            )
+            for l_idx, line in enumerate(lines)
+        ]
+        return _PAGE_XML_TEMPLATE.format(
+            created=_xml_text(get_utc_time()),
+            image_name=_xml_attr(image_name),
+            width=image.shape[1],
+            height=image.shape[0],
+            text_bbox=_xml_attr(text_bbox),
+            text_lines="".join(blocks),
         )
-        root.attrib["xmlns:xsi"] = "http://www.w3.org/2001/XMLSchema-instance"
-        root.attrib["xsi:schemaLocation"] = (
-            "http://schema.primaresearch.org/PAGE/gts/pagecontent/2013-07-15 "
-            "http://schema.primaresearch.org/PAGE/gts/pagecontent/2013-07-15/pagecontent.xsd"
-        )
-
-        metadata = etree.SubElement(root, "Metadata")
-        creator = etree.SubElement(metadata, "Creator")
-        creator.text = "Transkribus"
-        created = etree.SubElement(metadata, "Created")
-        created.text = get_utc_time()
-
-        page = etree.SubElement(root, "Page")
-        page.attrib["imageFilename"] = image_name
-        page.attrib["imageWidth"] = f"{image.shape[1]}"
-        page.attrib["imageHeight"] = f"{image.shape[0]}"
-
-        reading_order = etree.SubElement(page, "ReadingOrder")
-        ordered_group = etree.SubElement(reading_order, "OrderedGroup")
-        ordered_group.attrib["id"] = f"1234_{0}"
-        ordered_group.attrib["caption"] = "Regions reading order"
-
-        region_ref_indexed = etree.SubElement(reading_order, "RegionRefIndexed")
-        region_ref_indexed.attrib["index"] = "0"
-        region_ref = "region_main"
-        region_ref_indexed.attrib["regionRef"] = region_ref
-
-        text_region = etree.SubElement(page, "TextRegion")
-        text_region.attrib["id"] = region_ref
-        text_region.attrib["custom"] = "readingOrder {index:0;}"
-
-        text_region_coords = etree.SubElement(text_region, "Coords")
-        text_region_coords.attrib["points"] = text_bbox
-
-        for l_idx, line in enumerate(lines):
-            if text_lines is not None and len(text_lines) > 0:
-                text_region.append(
-                    self.get_text_line_block(
-                        coordinate=line,
-                        index=l_idx,
-                        unicode_text=text_lines[l_idx].text,
-                    )
-                )
-            else:
-                text_region.append(
-                    self.get_text_line_block(
-                        coordinate=line, index=l_idx, unicode_text=""
-                    )
-                )
-
-        parsed_xml = minidom.parseString(etree.tostring(root))
-        return parsed_xml.toprettyxml()
 
     def export_lines(
         self,

@@ -80,11 +80,13 @@ def make_volume(n_pages: int) -> list[np.ndarray]:
     return pages
 
 
-def build(det_chunk: int = 16, per_line: bool = False, mesh=None):
+def build(det_chunk: int | None = None, per_line: bool = False, mesh=None):
     """det_chunk=16 splits a 24-tile page into two forward programs —
     over the axon relay that pipelines dispatch/transfer against execution
     (measured median 7.2 pages/s vs 6.4 at one 24-tile program and 3.5
     fully fused; see docs/PERFORMANCE.md)."""
+    if det_chunk is None:
+        det_chunk = int(os.environ.get("BENCH_DET_CHUNK", "16"))
     import jax.numpy as jnp
     from flax import linen as nn
     import jax

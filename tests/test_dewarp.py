@@ -101,3 +101,83 @@ def test_local_tps_extracts_strips():
     strips = T.get_line_images_via_local_tps(img, line_data)
     assert len(strips) == 1
     assert strips[0].shape[0] > 0 and strips[0].shape[1] > 400
+
+
+def test_vertical_warp_matches_exact_gather_path():
+    """The global-dewarp fast path (_warp_pair_vertical, shift-select over
+    a bounded row band) must match the exact gather path (_warp_pair) on an
+    x-preserving TPS: same gray page within 1 intensity count, near-equal
+    masks (float-order ties at the 0.5 threshold may flip lone pixels)."""
+    import jax.numpy as jnp
+
+    from ocr_inference_tpu.ops.packing import pack_bits_host, unpack_mask
+
+    rng = np.random.default_rng(5)
+    h, w = 256, 384
+    img = rng.integers(0, 255, (h, w), np.uint8)
+    mask = (rng.random((h, w)) > 0.6).astype(np.uint8)
+
+    xs = np.linspace(20, w - 20, 8)
+    src = np.stack([140 + 18 * np.sin(xs / 40.0), xs], -1)
+    dst = np.stack([np.full(8, 140.0), xs], -1)
+    corners = np.array([[0, 0], [1, 0], [0, 1], [1, 1]], np.float64) * [h, w]
+    src = np.concatenate([src, corners])
+    dst = np.concatenate([dst, corners])
+    control, weights, affine = T.fit_tps(src, dst)
+
+    args = (
+        jnp.asarray(img),
+        jnp.asarray(pack_bits_host(mask > 0)),
+        jnp.asarray(control, np.float32),
+        jnp.asarray(weights, np.float32),
+        jnp.asarray(affine, np.float32),
+    )
+    exact_img, exact_packed = T._warp_pair(*args)
+    fast_img, fast_packed, max_dy = T._warp_pair_vertical(*args, b=64)
+    assert float(max_dy) <= 63
+
+    # the fitted x map is the identity for x-preserving control points
+    my, mx = T._tps_grid_device(args[2], args[3], args[4], h, w)
+    assert float(
+        jnp.max(jnp.abs(mx - jnp.arange(w, dtype=np.float32)[None]))
+    ) < 1e-3
+
+    # edge columns excluded: the gather path's strict 2-D domain test zeroes
+    # x = 0 / x = w-1 when the identity x map lands at -1e-15 / w-1+1e-15
+    # (float artifact of evaluating a provably-identity TPS component); the
+    # vertical path treats x as exactly identity, which is the true fit
+    diff = np.abs(
+        np.asarray(exact_img).astype(int) - np.asarray(fast_img).astype(int)
+    )[:, 1:-1]
+    assert diff.max() <= 1
+
+    m_exact = unpack_mask(np.asarray(exact_packed), w)[:, 1:-1]
+    m_fast = unpack_mask(np.asarray(fast_packed), w)[:, 1:-1]
+    assert np.mean(m_exact != m_fast) < 1e-3
+
+
+def test_vertical_warp_overshoot_reports_max_dy():
+    """max_dy must report the true displacement so apply_global_tps can
+    fall back when the band is too small."""
+    import jax.numpy as jnp
+
+    from ocr_inference_tpu.ops.packing import pack_bits_host
+
+    h, w = 128, 128
+    img = np.zeros((h, w), np.uint8)
+    mask = np.zeros((h, w), np.uint8)
+    xs = np.linspace(10, w - 10, 5)
+    src = np.stack([60 + 50 * np.sin(xs / 15.0), xs], -1)
+    dst = np.stack([np.full(5, 60.0), xs], -1)
+    corners = np.array([[0, 0], [1, 0], [0, 1], [1, 1]], np.float64) * [h, w]
+    control, weights, affine = T.fit_tps(
+        np.concatenate([src, corners]), np.concatenate([dst, corners])
+    )
+    _, _, max_dy = T._warp_pair_vertical(
+        jnp.asarray(img), jnp.asarray(pack_bits_host(mask > 0)),
+        jnp.asarray(control, np.float32), jnp.asarray(weights, np.float32),
+        jnp.asarray(affine, np.float32), b=32,
+    )
+    # control points demand up to ~50 px of displacement: the b=32 band is
+    # insufficient and the kernel must say so
+    assert float(max_dy) > 31

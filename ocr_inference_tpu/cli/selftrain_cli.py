@@ -41,15 +41,26 @@ def main(argv=None) -> int:
     ap.add_argument("--json", default=None,
                     help="result json path (default <out>/EVAL.json)")
     ap.add_argument("--unet-width", type=int, default=32)
+    ap.add_argument("--unet-stem-stride", type=int, default=1,
+                    help="2 = TPU space-to-depth stem UNet variant "
+                         "(~4x fewer detect FLOPs; CER-gated)")
     ap.add_argument("--canvas-width", type=int, default=512)
     ap.add_argument("--log-every", type=int, default=50)
     ap.add_argument("--lm-order", type=int, default=3,
                     help="char-LM order for the beam+LM eval (0 disables)")
     ap.add_argument("--lm-corpus-lines", type=int, default=500,
                     help="synthetic corpus lines for the n-gram LM")
+    ap.add_argument("--lm-alpha", type=float, default=0.5,
+                    help="shallow-fusion LM weight (KenLMConfig.alpha)")
+    ap.add_argument("--lm-beta", type=float, default=0.0,
+                    help="per-token insertion bonus (KenLMConfig.beta)")
     ap.add_argument("--weights", default=None,
                     help="reuse trained weights from DIR (recognizer.msgpack"
                          " + lines.msgpack): skip training, eval only")
+    ap.add_argument("--weights-rec", default=None,
+                    help="reuse only recognizer.msgpack from DIR: skip "
+                         "recognizer training, still train the UNet "
+                         "(detector-variant experiments)")
     args = ap.parse_args(argv)
 
     from ocr_inference_tpu.utils import enable_compilation_cache
@@ -111,40 +122,58 @@ def main(argv=None) -> int:
                          rec_steps_run, seg_steps_run, log)
 
     # ------------------------------------------------------------------
-    # 1. train the recognizer (Easter2, CTC)
+    # 1. train the recognizer (Easter2, CTC) — or reuse (--weights-rec)
     # ------------------------------------------------------------------
-    t0 = time.perf_counter()
-    rec_model = build_recognizer("Easter2", vocab)
-    rec_opt = make_optimizer(args.lr, total_steps=args.rec_steps,
-                             warmup_steps=min(100, args.rec_steps // 5))
-    rec_state = init_train_state(
-        rec_model, rec_opt, input_height=80, width=args.canvas_width,
-        seed=args.seed,
-    )
-    rec_step = make_train_step(rec_model, rec_opt)
-    state = rec_state.as_tuple()
     rng = np.random.RandomState(args.seed)
-    rec_loss = float("nan")
-    for i in range(args.rec_steps):
-        batch = recognizer_batch(
-            rng, glyphs, charset, args.rec_batch,
-            input_height=80, width=args.canvas_width,
+    rec_steps_run = args.rec_steps
+    if args.weights_rec:
+        import shutil
+
+        src = Path(args.weights_rec) / "recognizer.msgpack"
+        if not src.is_file():
+            sys.exit(f"--weights-rec: {src} not found")
+        if src.resolve() != (out / "recognizer.msgpack").resolve():
+            shutil.copy2(src, out / "recognizer.msgpack")
+            side = Path(str(src) + ".json")
+            if side.is_file():
+                shutil.copy2(side, out / "recognizer.msgpack.json")
+        rec_loss = 0.0
+        rec_steps_run = 0
+        log(f"[rec] reusing {src} (recognizer training skipped)")
+    else:
+        t0 = time.perf_counter()
+        rec_model = build_recognizer("Easter2", vocab)
+        rec_opt = make_optimizer(args.lr, total_steps=args.rec_steps,
+                                 warmup_steps=min(100, args.rec_steps // 5))
+        rec_state = init_train_state(
+            rec_model, rec_opt, input_height=80, width=args.canvas_width,
+            seed=args.seed,
         )
-        state, loss = rec_step(state, batch)
-        if (i + 1) % args.log_every == 0 or i == 0:
-            rec_loss = float(loss)
-            log(f"[rec] step {i + 1}/{args.rec_steps} loss {rec_loss:.4f}")
-    rec_loss = float(loss)
-    rec_vars = {"params": state[0], "batch_stats": state[1]}
-    save_params(rec_vars, out / "recognizer.msgpack",
-                meta={"architecture": "Easter2", "charset": list(charset)})
-    log(f"[rec] trained in {time.perf_counter() - t0:.1f}s; loss {rec_loss:.4f}")
+        rec_step = make_train_step(rec_model, rec_opt)
+        state = rec_state.as_tuple()
+        rec_loss = float("nan")
+        for i in range(args.rec_steps):
+            batch = recognizer_batch(
+                rng, glyphs, charset, args.rec_batch,
+                input_height=80, width=args.canvas_width,
+            )
+            state, loss = rec_step(state, batch)
+            if (i + 1) % args.log_every == 0 or i == 0:
+                rec_loss = float(loss)
+                log(f"[rec] step {i + 1}/{args.rec_steps} loss {rec_loss:.4f}")
+        rec_loss = float(loss)
+        rec_vars = {"params": state[0], "batch_stats": state[1]}
+        save_params(rec_vars, out / "recognizer.msgpack",
+                    meta={"architecture": "Easter2", "charset": list(charset)})
+        log(f"[rec] trained in {time.perf_counter() - t0:.1f}s; "
+            f"loss {rec_loss:.4f}")
 
     # ------------------------------------------------------------------
     # 2. train the line-detection UNet
     # ------------------------------------------------------------------
     t0 = time.perf_counter()
-    seg_model = UNet(classes=1, width=args.unet_width)
+    seg_model = UNet(classes=1, width=args.unet_width,
+                     stem_stride=args.unet_stem_stride)
     seg_opt = make_optimizer(args.lr, total_steps=args.seg_steps,
                              warmup_steps=min(50, args.seg_steps // 5))
     seg_state = init_seg_train_state(seg_model, seg_opt, patch_size=512,
@@ -161,11 +190,12 @@ def main(argv=None) -> int:
     seg_loss = float(loss)
     seg_vars = {"params": sstate[0], "batch_stats": sstate[1]}
     save_params(seg_vars, out / "lines.msgpack",
-                meta={"architecture": "unet", "width": args.unet_width})
+                meta={"architecture": "unet", "width": args.unet_width,
+                      "stem_stride": args.unet_stem_stride})
     log(f"[seg] trained in {time.perf_counter() - t0:.1f}s; loss {seg_loss:.4f}")
 
     return _run_eval(args, out, charset, glyphs, rec_loss, seg_loss,
-                     args.rec_steps, args.seg_steps, log)
+                     rec_steps_run, args.seg_steps, log)
 
 
 def _run_eval(args, out, charset, glyphs, rec_loss, seg_loss,
@@ -225,24 +255,15 @@ def _run_eval(args, out, charset, glyphs, rec_loss, seg_loss,
             corpus, out / "lm.arpa", order=args.lm_order, tokens=True
         )
         kenlm_cfg = KenLMConfig(
-            kenlm_file=str(arpa), arpa_file=str(arpa), unigrams=None
+            kenlm_file=str(arpa), arpa_file=str(arpa), unigrams=None,
+            alpha=args.lm_alpha, beta=args.lm_beta,
         )
         log(f"[lm] built order-{args.lm_order} ARPA from "
             f"{len(corpus)} lines -> {arpa}")
 
-    # the trained UNet width must flow into the builder's template
-    import ocr_inference_tpu.pipeline.builder as builder_mod
-
-    orig_unet = builder_mod.UNet
-    builder_mod.UNet = lambda classes, dtype: orig_unet(
-        classes=classes, width=args.unet_width, dtype=dtype
-    )
-    try:
-        pipeline = build_pipeline(
-            ocr_config, line_config, kenlm_config=kenlm_cfg
-        )
-    finally:
-        builder_mod.UNet = orig_unet
+    # the trained UNet's width/stem travel in the weight sidecar; the
+    # builder reads them back (build_detection_engine)
+    pipeline = build_pipeline(ocr_config, line_config, kenlm_config=kenlm_cfg)
 
     from ocr_inference_tpu.pipeline.ocr_pipeline import PipelineObserver
 
@@ -320,6 +341,8 @@ def _run_eval(args, out, charset, glyphs, rec_loss, seg_loss,
         result["cer_beam"] = round(cer(preds_beam, refs), 5)
         result["cer_beam_lm"] = round(cer(preds_beam_lm, refs), 5)
         result["lm_order"] = args.lm_order
+        result["lm_alpha"] = args.lm_alpha
+        result["lm_beta"] = args.lm_beta
     json_path = Path(args.json) if args.json else out / "EVAL.json"
     json_path.write_text(json.dumps(result) + "\n")
     print(json.dumps(result))

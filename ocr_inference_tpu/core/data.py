@@ -273,11 +273,18 @@ class EvaluationSet:
 
 @dataclass
 class KenLMConfig:
-    """n-gram LM config (reference: BDRC/data.py:283)."""
+    """n-gram LM config (reference: BDRC/data.py:283).
+
+    ``alpha``/``beta`` extend the reference's config with pyctcdecode's
+    shallow-fusion knobs (pyctcdecode passes alpha/beta straight to
+    build_ctcdecoder; the reference leaves them at the library defaults):
+    fused score = alpha * ln p_lm + beta per emitted token."""
 
     kenlm_file: str | Path
     arpa_file: str | Path
     unigrams: Optional[list[str]]
+    alpha: float = 0.5
+    beta: float = 0.0
 
 
 @dataclass

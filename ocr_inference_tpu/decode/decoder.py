@@ -127,6 +127,8 @@ class CTCDecoder:
 
         self._lm = None
         self._lm_score_fn = None
+        self.lm_alpha = kenlm_config.alpha if kenlm_config else 0.5
+        self.lm_beta = kenlm_config.beta if kenlm_config else 0.0
         if kenlm_config is not None:
             try:
                 self._lm = _load_lm(kenlm_config)
@@ -182,6 +184,8 @@ class CTCDecoder:
             add_blank=self.add_blank,
             beam_width=self.ctc_beam_width,
             lm_score_fn=self._lm_score_fn if use_lm else None,
+            lm_alpha=self.lm_alpha,
+            lm_beta=self.lm_beta,
             top_k=top_k,
         )
 

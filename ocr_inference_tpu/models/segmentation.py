@@ -28,21 +28,44 @@ from ocr_inference_tpu.models.layers import (
 Dtype = Any
 
 
+def space_to_depth(x: jnp.ndarray, block: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/b, W/b, C*b*b), lossless pixel regrouping."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // block, block, w // block, block, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // block, w // block, c * block * block)
+
+
 class UNet(nn.Module):
     """Compact UNet for binary line segmentation over 512x512 tiles.
 
     Flagship line-detection net ("PhotiLines"-class capability). Four
     down/up levels; skip connections by concat.
+
+    ``stem_stride=2`` selects the TPU-first variant: a lossless
+    space-to-depth stem regroups the tile to (256, 256, 12) so the whole
+    encoder/decoder runs one octave lower (~4x fewer FLOPs — the full-res
+    level both dominates FLOPs and underfills the 128-lane MXU at w=32),
+    then a light full-resolution refinement stage (depth-to-space of the
+    decoder output concatenated with stem features) restores pixel-accurate
+    mask edges. Accuracy is gated by the end-to-end synthetic CER loop
+    (bocr-selftrain), not assumed — see docs/PERFORMANCE.md.
     """
 
     classes: int = 1
     width: int = 32
+    stem_stride: int = 1
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         w = self.width
         x = x.astype(self.dtype)
+
+        stem = None
+        if self.stem_stride > 1:
+            stem = ConvBN(w // 2, dtype=self.dtype)(x, train)  # full-res feats
+            x = space_to_depth(x, self.stem_stride)
 
         skips = []
         feats = [w, w * 2, w * 4, w * 8]
@@ -61,6 +84,14 @@ class UNet(nn.Module):
             x = jnp.concatenate([x, skip], axis=-1)
             x = ConvBN(f, dtype=self.dtype)(x, train)
             x = ConvBN(f, dtype=self.dtype)(x, train)
+
+        if stem is not None:
+            s = self.stem_stride
+            while s > 1:  # power-of-two stride -> log2(s) upsamples
+                x = upsample2x(x)
+                s //= 2
+            x = jnp.concatenate([x, stem], axis=-1)
+            x = ConvBN(w // 2, dtype=self.dtype)(x, train)
 
         logits = nn.Conv(self.classes, (1, 1), dtype=jnp.float32)(
             x.astype(jnp.float32)

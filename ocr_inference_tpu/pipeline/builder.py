@@ -137,7 +137,19 @@ def build_detection_engine(
     if is_layout or config.architecture.lower().startswith("deeplab"):
         model = DeepLabV3Plus(classes=n_classes, dtype=dtype)
     else:
-        model = UNet(classes=n_classes, dtype=dtype)
+        # UNet hyperparameters travel in the weight sidecar (save_params
+        # meta), so a trained variant (width, space-to-depth stem) reloads
+        # into the exact architecture it was trained as.
+        from ocr_inference_tpu.models.params import load_meta
+
+        weights = _find_weights(config.onnx_file)
+        meta = (load_meta(weights) if weights is not None else None) or {}
+        model = UNet(
+            classes=n_classes,
+            width=int(meta.get("width", 32)),
+            stem_stride=int(meta.get("stem_stride", 1)),
+            dtype=dtype,
+        )
     variables = _resolve_variables(
         model,
         lambda: init_segmentation(model, config.patch_size),

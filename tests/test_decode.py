@@ -128,6 +128,38 @@ def test_beam_search_with_lm_prefers_likely_sequence(tmp_path):
     assert with_lm[0].lm_score is not None
 
 
+def test_kenlm_config_alpha_threads_into_beams(tmp_path):
+    """KenLMConfig.alpha/beta flow into the fused beam scores: alpha=0,
+    beta=0 with an LM attached must reproduce the LM-free ranking, and a
+    strong alpha must flip the acoustically ambiguous choice."""
+    from ocr_inference_tpu.core.data import KenLMConfig
+
+    arpa = _toy_arpa(tmp_path)
+    charset = ["a", "b", "c"]
+    logits = np.log(
+        np.array(
+            [[0.02, 0.96, 0.01, 0.01], [0.02, 0.01, 0.48, 0.49]],
+            dtype=np.float64,
+        )
+    )
+    plain = CTCDecoder(charset, add_blank=True).ctc_beam_decode(logits)
+
+    cfg0 = KenLMConfig(kenlm_file=arpa, arpa_file=arpa, unigrams=None,
+                       alpha=0.0, beta=0.0)
+    dec0 = CTCDecoder(charset, add_blank=True, kenlm_config=cfg0)
+    assert dec0.lm_alpha == 0.0
+    neutral = dec0.ctc_beam_decode(logits, use_lm=True)
+    assert [b.text for b in neutral] == [b.text for b in plain]
+    assert neutral[0].logit_score == pytest.approx(plain[0].logit_score)
+
+    cfg = KenLMConfig(kenlm_file=arpa, arpa_file=arpa, unigrams=None,
+                      alpha=0.8)
+    dec = CTCDecoder(charset, add_blank=True, kenlm_config=cfg)
+    fused = dec.ctc_beam_decode(logits, use_lm=True)
+    assert plain[0].text == "ac"  # acoustics alone pick c
+    assert fused[0].text == "ab"  # LM (P(b|a)=-0.1) flips it
+
+
 def test_decoder_from_kenlm_config(tmp_path):
     from ocr_inference_tpu.core.data import KenLMConfig
 

@@ -22,6 +22,36 @@ def test_unet_shapes():
     assert out.dtype == jnp.float32
 
 
+def test_unet_stem_stride_shapes():
+    """Space-to-depth stem variant keeps the (B, H, W, classes) contract."""
+    model = UNet(classes=1, width=8, stem_stride=2, dtype=jnp.float32)
+    x = jnp.zeros((2, 64, 64, 3))
+    _, out = _init_and_run(model, x)
+    assert out.shape == (2, 64, 64, 1)
+    assert out.dtype == jnp.float32
+
+
+def test_unet_stem_stride_roundtrips_through_builder(tmp_path):
+    """width/stem_stride saved in the weight sidecar must rebuild the exact
+    trained architecture (pipeline/builder.py build_detection_engine)."""
+    from ocr_inference_tpu.core.data import LineDetectionConfig
+    from ocr_inference_tpu.models.params import save_params
+    from ocr_inference_tpu.pipeline.builder import build_detection_engine
+
+    model = UNet(classes=1, width=8, stem_stride=2, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    save_params(variables, tmp_path / "lines.msgpack",
+                meta={"architecture": "unet", "width": 8, "stem_stride": 2})
+    cfg = LineDetectionConfig(
+        checkpoint="", onnx_file=str(tmp_path / "lines.onnx"),
+        architecture="unet", patch_size=64, classes=["line"],
+    )
+    engine = build_detection_engine(cfg)
+    assert engine.model.width == 8
+    assert engine.model.stem_stride == 2
+
+
 def test_deeplab_shapes():
     model = DeepLabV3Plus(classes=5, dtype=jnp.float32)
     x = jnp.zeros((1, 64, 64, 3))

@@ -138,12 +138,20 @@ def build_line_data(contour: np.ndarray, optimize: bool = True) -> Line:
 
 
 def build_raw_line_data(
-    image: np.ndarray, line_mask: np.ndarray, rot_threshold: float = 0.5
+    image: np.ndarray, line_mask: np.ndarray, rot_threshold: float = 0.5,
+    rgb_mask: bool = True,
 ):
     """Deskew + contour extraction (reference: line_detection.py:212-244).
 
-    Returns (rotated_image, rotated_mask_rgb, contours, angle). Rotation is
+    Returns (rotated_image, rotated_mask, contours, angle). Rotation is
     applied only when the detected skew exceeds rot_threshold degrees.
+
+    ``rgb_mask=True`` replicates the mask to 3 channels like the reference
+    (byte-parity contract, tests/test_reference_diff.py). The pipeline
+    passes ``rgb_mask=False``: every internal consumer (filter, reading
+    order, line_threshold, TPS) handles the 2-D mask directly, and the
+    replication is pure host-CPU waste — a 12.7 MB page-size alloc plus a
+    GRAY<->RGB conversion pair per page on the profile's hottest call.
     """
     if line_mask.ndim == 3:
         line_mask = cv2.cvtColor(line_mask, cv2.COLOR_BGR2GRAY)
@@ -160,7 +168,8 @@ def build_raw_line_data(
     line_contours = [
         x for x in get_contours(out_mask) if geo.contour_area(x) > 10
     ]
-    out_mask = cv2.cvtColor(out_mask, cv2.COLOR_GRAY2RGB)
+    if rgb_mask:
+        out_mask = cv2.cvtColor(out_mask, cv2.COLOR_GRAY2RGB)
     return out_img, out_mask, line_contours, angle
 
 

@@ -53,6 +53,10 @@ class WeightedOp:
     epsilon: float = 1e-5
     trans_b: bool = False
     output: str = ""
+    # graph-side tensor names feeding this op (as written in node.inputs;
+    # may be Identity/Transpose-routed — retroplant resolves them back to
+    # the underlying initializers)
+    input_names: dict = field(default_factory=dict)
     # gru: recurrent kernel R (num_dirs, 3H, H); kernel holds W
     # (num_dirs, 3H, I), bias holds B (num_dirs, 6H)
     rec_kernel: Optional[np.ndarray] = None
@@ -96,6 +100,14 @@ def onnx_weighted_ops(model: wire.Model) -> list[WeightedOp]:
                     if len(node.inputs) > 2
                     else None,
                     output=node.outputs[0],
+                    input_names={
+                        "kernel": node.inputs[1],
+                        **(
+                            {"bias": node.inputs[2]}
+                            if len(node.inputs) > 2
+                            else {}
+                        ),
+                    },
                 )
             )
         elif node.op_type == "BatchNormalization":
@@ -109,6 +121,12 @@ def onnx_weighted_ops(model: wire.Model) -> list[WeightedOp]:
                     var=inits[node.inputs[4]],
                     epsilon=float(node.attr("epsilon", 1e-5)),
                     output=node.outputs[0],
+                    input_names={
+                        "scale": node.inputs[1],
+                        "bias": node.inputs[2],
+                        "mean": node.inputs[3],
+                        "var": node.inputs[4],
+                    },
                 )
             )
         elif node.op_type == "Gemm" and node.inputs[1] in inits:
@@ -122,6 +140,14 @@ def onnx_weighted_ops(model: wire.Model) -> list[WeightedOp]:
                     else None,
                     trans_b=bool(node.attr("transB", 0)),
                     output=node.outputs[0],
+                    input_names={
+                        "kernel": node.inputs[1],
+                        **(
+                            {"bias": node.inputs[2]}
+                            if len(node.inputs) > 2
+                            else {}
+                        ),
+                    },
                 )
             )
         elif node.op_type == "LayerNormalization" and node.inputs[1] in inits:
@@ -135,6 +161,14 @@ def onnx_weighted_ops(model: wire.Model) -> list[WeightedOp]:
                     else None,
                     epsilon=float(node.attr("epsilon", 1e-5)),
                     output=node.outputs[0],
+                    input_names={
+                        "scale": node.inputs[1],
+                        **(
+                            {"bias": node.inputs[2]}
+                            if len(node.inputs) > 2 and node.inputs[2]
+                            else {}
+                        ),
+                    },
                 )
             )
         elif node.op_type == "GRU" and node.inputs[1] in inits:
@@ -153,12 +187,22 @@ def onnx_weighted_ops(model: wire.Model) -> list[WeightedOp]:
                         node.attr("linear_before_reset", 0)
                     ),
                     output=node.outputs[0] if node.outputs else "",
+                    input_names={
+                        "kernel": node.inputs[1],
+                        "rec_kernel": node.inputs[2],
+                        **(
+                            {"bias": node.inputs[3]}
+                            if len(node.inputs) > 3 and node.inputs[3]
+                            else {}
+                        ),
+                    },
                 )
             )
         elif node.op_type == "MatMul" and node.inputs[1] in inits:
             op = WeightedOp(
                 "dense", node, kernel=inits[node.inputs[1]],
                 output=node.outputs[0],
+                input_names={"kernel": node.inputs[1]},
             )
             # fuse the canonical MatMul+Add bias pattern the torch exporter
             # writes for Linear
@@ -172,6 +216,7 @@ def onnx_weighted_ops(model: wire.Model) -> list[WeightedOp]:
                     bias_name = next(i for i in nxt.inputs if i in inits)
                     op.bias = inits[bias_name]
                     op.output = nxt.outputs[0]
+                    op.input_names["bias"] = bias_name
                     consumed_adds.add(jdx)
                     break
             ops.append(op)

@@ -562,3 +562,71 @@ def encode_model(
         + field_bytes(7, g)  # ModelProto.graph = 7
         + field_bytes(8, opset_proto)  # ModelProto.opset_import = 8
     )
+
+
+# ---------------------------------------------------------------------------
+# In-place weight surgery: splice new initializer values into model bytes
+# ---------------------------------------------------------------------------
+
+def _emit_field(field_no: int, wtype: int, val) -> bytes:
+    """Re-serialize a field exactly as iter_fields decoded it."""
+    if wtype == VARINT:
+        return field_varint(field_no, val)
+    if wtype == LEN:
+        return field_bytes(field_no, val)
+    # I64 / I32: iter_fields kept the raw little-endian payload bytes
+    return _write_varint((field_no << 3) | wtype) + val
+
+
+def replace_initializers(model_bytes: bytes, arrays: dict) -> bytes:
+    """Return new ONNX model bytes with the named graph initializers
+    re-encoded to hold ``arrays``' values; every other byte of the model
+    (nodes, attributes, value infos, unknown fields) is preserved verbatim.
+
+    Used by onnx.retroplant to write natively trained Flax weights back
+    into a real exporter-produced checkpoint without reconstructing the
+    graph. Shapes must match the existing slots; values are cast to each
+    slot's stored dtype. Raises KeyError for names not present as
+    initializers.
+    """
+    import numpy as np
+
+    remaining = dict(arrays)
+
+    def rewrite_graph(gbuf: bytes) -> bytes:
+        out = []
+        for fno, wtype, val in iter_fields(gbuf):
+            if fno == 5 and wtype == LEN:  # GraphProto.initializer
+                t = parse_tensor(val)
+                if t.name in remaining:
+                    arr = np.asarray(remaining.pop(t.name))
+                    if list(arr.shape) != list(t.dims):
+                        raise ValueError(
+                            f"initializer {t.name!r}: new shape "
+                            f"{tuple(arr.shape)} != slot shape {tuple(t.dims)}"
+                        )
+                    slot_dtype = TENSOR_DTYPES.get(t.data_type)
+                    if slot_dtype is None:
+                        raise ValueError(
+                            f"initializer {t.name!r}: unsupported slot "
+                            f"dtype {t.data_type}"
+                        )
+                    out.append(
+                        field_bytes(5, encode_tensor(t.name, arr.astype(slot_dtype)))
+                    )
+                    continue
+            out.append(_emit_field(fno, wtype, val))
+        return b"".join(out)
+
+    out = []
+    for fno, wtype, val in iter_fields(model_bytes):
+        if fno == 7 and wtype == LEN:  # ModelProto.graph
+            out.append(field_bytes(7, rewrite_graph(val)))
+        else:
+            out.append(_emit_field(fno, wtype, val))
+    if remaining:
+        raise KeyError(
+            "names not found among graph initializers: "
+            + ", ".join(sorted(remaining))
+        )
+    return b"".join(out)

@@ -94,16 +94,31 @@ class RetroplantError(ValueError):
     pass
 
 
+class Retroplanted(dict):
+    """The write-back plan: a ``{initializer_name: array}`` dict (so it
+    still reads like the original mapping), plus the de-aliasing needed
+    when the exporter deduplicated identical tensors (fresh BN statistics
+    are all zeros/ones, so several layers share ONE initializer slot —
+    writing distinct trained values back requires giving each consumer
+    its own): ``additions`` are new initializers to append and
+    ``input_renames`` re-points ``(node_index, input_position)`` at them.
+    """
+
+    additions: dict[str, np.ndarray]
+    input_renames: dict[tuple[int, int], str]
+
+
 def retroplant(
     model: wire.Model,
     module,
     variables,
     sample_x,
     **apply_kwargs,
-) -> dict[str, np.ndarray]:
+) -> Retroplanted:
     """Read ``variables`` out into ``{initializer_name: array}`` for the
-    graph's weighted ops. All-or-nothing: raises on any unmatched layer,
-    folded-BN conv, or Constant-routed weight."""
+    graph's weighted ops (plus a de-aliasing plan for exporter-deduplicated
+    slots — see Retroplanted). All-or-nothing: raises on any unmatched
+    layer, folded-BN conv, or Constant-routed weight."""
     from flax.core import unfreeze
 
     ops = onnx_weighted_ops(model)
@@ -114,7 +129,9 @@ def retroplant(
     params = tree.get("params", tree)
     batch_stats = tree.get("batch_stats", {})
 
-    values: dict[str, np.ndarray] = {}  # resolved-name -> consumed value
+    # emission order matters: entries resolve to initializers below, and
+    # exporter-deduplicated slots are de-aliased per consuming node input
+    entries: list[tuple[object, str, str, np.ndarray]] = []
 
     def emit(op, slot: str, value: np.ndarray):
         name = op.input_names.get(slot)
@@ -123,7 +140,7 @@ def retroplant(
                 f"{op.kind} node {op.node.name!r} records no graph name "
                 f"for its {slot!r} tensor"
             )
-        values[name] = np.asarray(value)
+        entries.append((op, slot, name, np.asarray(value)))
 
     oi = 0
     li = 0
@@ -246,18 +263,57 @@ def retroplant(
             f"(first: {ops[oi].kind} {ops[oi].node.name})"
         )
 
-    # resolve routed names back to initializers, inverting any Transpose
-    out: dict[str, np.ndarray] = {}
-    for name, value in values.items():
+    # resolve routed names back to initializers, inverting any Transpose;
+    # de-alias exporter-deduplicated slots (several layers' identical fresh
+    # tensors — BN zeros/ones — share ONE initializer; trained values
+    # differ, so each extra consumer gets its own appended initializer)
+    out = Retroplanted()
+    out.additions = {}
+    out.input_renames = {}
+    claims: dict[str, np.ndarray] = {}
+    node_index = {id(n): i for i, n in enumerate(model.graph.nodes)}
+    occ_seen: dict[tuple[int, str], int] = {}
+    counter = 0
+    for op, slot, name, value in entries:
         if name not in route:
             raise RetroplantError(
                 f"weight tensor {name!r} is not initializer-backed "
                 "(Constant-node weights cannot be written back)"
             )
         src, perm = route[name]
+        init_value = (
+            np.transpose(value, np.argsort(perm)) if perm is not None
+            else value
+        )
+        key = (id(op.node), name)
+        occ = occ_seen.get(key, 0)
+        occ_seen[key] = occ + 1
+        if src not in claims:
+            claims[src] = init_value
+            out[src] = init_value
+            continue
+        if np.array_equal(claims[src], init_value):
+            continue
         if perm is not None:
-            value = np.transpose(value, np.argsort(perm))
-        out[src] = value
+            raise RetroplantError(
+                f"initializer {src!r} is shared through a Transpose route "
+                "with conflicting written-back values — cannot de-alias"
+            )
+        positions = [
+            i for i, nm in enumerate(op.node.inputs) if nm == name
+        ]
+        if occ >= len(positions):
+            raise RetroplantError(
+                f"cannot locate the {slot!r} input of node "
+                f"{op.node.name!r} to de-alias shared weight {name!r}"
+            )
+        counter += 1
+        new_name = f"{src}__retroplant{counter}"
+        slot_dtype = model.graph.initializers[src].to_numpy().dtype
+        out.additions[new_name] = np.asarray(init_value, dtype=slot_dtype)
+        out.input_renames[(node_index[id(op.node)], positions[occ])] = (
+            new_name
+        )
     return out
 
 
@@ -278,7 +334,10 @@ def write_back(
     model = wire.parse_model(raw)
     wire._resolve_graph_external(model.graph, Path(model_path).parent)
     mapping = retroplant(model, module, variables, sample_x, **apply_kwargs)
-    new_bytes = wire.replace_initializers(raw, mapping)
+    new_bytes = wire.replace_initializers(
+        raw, mapping,
+        additions=mapping.additions, input_renames=mapping.input_renames,
+    )
     with open(out_path, "wb") as f:
         f.write(new_bytes)
     return mapping

@@ -578,7 +578,30 @@ def _emit_field(field_no: int, wtype: int, val) -> bytes:
     return _write_varint((field_no << 3) | wtype) + val
 
 
-def replace_initializers(model_bytes: bytes, arrays: dict) -> bytes:
+def _rewrite_node_inputs(nbuf: bytes, renames: dict[int, str]) -> bytes:
+    """Re-encode a NodeProto with the ``renames``-indexed input strings
+    (position among the repeated ``input`` fields) pointing at new names."""
+    out = []
+    pos = 0
+    for fno, wtype, val in iter_fields(nbuf):
+        if fno == 1 and wtype == LEN:  # NodeProto.input
+            new = renames.get(pos)
+            out.append(
+                field_string(1, new) if new is not None
+                else _emit_field(fno, wtype, val)
+            )
+            pos += 1
+        else:
+            out.append(_emit_field(fno, wtype, val))
+    return b"".join(out)
+
+
+def replace_initializers(
+    model_bytes: bytes,
+    arrays: dict,
+    additions: dict | None = None,
+    input_renames: dict | None = None,
+) -> bytes:
     """Return new ONNX model bytes with the named graph initializers
     re-encoded to hold ``arrays``' values; every other byte of the model
     (nodes, attributes, value infos, unknown fields) is preserved verbatim.
@@ -588,15 +611,36 @@ def replace_initializers(model_bytes: bytes, arrays: dict) -> bytes:
     graph. Shapes must match the existing slots; values are cast to each
     slot's stored dtype. Raises KeyError for names not present as
     initializers.
+
+    ``additions`` appends brand-new initializers ``{name: array}`` (the
+    array's own dtype is stored), and ``input_renames`` re-points node
+    inputs ``{(node_index, input_position): new_name}`` — together they
+    de-alias initializers the exporter deduplicated by value (several BN
+    layers' identical fresh statistics sharing one tensor slot) so each
+    consumer can receive its own written-back weights.
     """
     import numpy as np
 
     remaining = dict(arrays)
+    node_renames: dict[int, dict[int, str]] = {}
+    for (node_idx, input_pos), new_name in (input_renames or {}).items():
+        node_renames.setdefault(node_idx, {})[input_pos] = new_name
 
     def rewrite_graph(gbuf: bytes) -> bytes:
         out = []
+        node_idx = 0
         for fno, wtype, val in iter_fields(gbuf):
-            if fno == 5 and wtype == LEN:  # GraphProto.initializer
+            if fno == 1 and wtype == LEN:  # GraphProto.node
+                if node_idx in node_renames:
+                    out.append(
+                        field_bytes(
+                            1, _rewrite_node_inputs(val, node_renames[node_idx])
+                        )
+                    )
+                    node_idx += 1
+                    continue
+                node_idx += 1
+            elif fno == 5 and wtype == LEN:  # GraphProto.initializer
                 t = parse_tensor(val)
                 if t.name in remaining:
                     arr = np.asarray(remaining.pop(t.name))
@@ -616,6 +660,8 @@ def replace_initializers(model_bytes: bytes, arrays: dict) -> bytes:
                     )
                     continue
             out.append(_emit_field(fno, wtype, val))
+        for name, arr in (additions or {}).items():
+            out.append(field_bytes(5, encode_tensor(name, np.asarray(arr))))
         return b"".join(out)
 
     out = []

@@ -116,6 +116,60 @@ def test_unet_roundtrip(tmp_path):
     assert _tree_max_diff(trained, back) == 0.0
 
 
+def test_unet_writeback_dealiasing(tmp_path):
+    """Regression: a FRESH torch twin's identical tensors (BN statistics
+    all zeros/ones) are deduplicated by the exporter into shared
+    initializer slots; writing back independently trained values must
+    de-alias them (new initializers + re-pointed node inputs), not let
+    the last writer win. Caught live: natively trained fixture weights
+    produced garbage masks through the written checkpoint."""
+    torch.manual_seed(4)
+    tm = TUNet(width=8).eval()  # fresh BN stats -> exporter dedup
+
+    from ocr_inference_tpu.models.segmentation import UNet
+
+    module = UNet(classes=1, width=8, dtype=jnp.float32)
+    x = jnp.asarray(
+        np.random.RandomState(4).rand(1, 64, 64, 3).astype(np.float32)
+    )
+    # weights UNRELATED to the export (the trained-checkpoint scenario):
+    # per-leaf random values so every aliased consumer needs its own slot
+    variables = module.init(jax.random.PRNGKey(7), x)
+    leaves, treedef = jax.tree_util.tree_flatten(variables)
+    rng = np.random.RandomState(11)
+    variables = jax.tree_util.tree_unflatten(
+        treedef,
+        [
+            jnp.asarray(
+                np.asarray(l, np.float32)
+                + rng.uniform(-0.05, 0.05, np.shape(l)).astype(np.float32)
+            )
+            for l in leaves
+        ],
+    )
+
+    path = str(tmp_path / "unet.onnx")
+    torch_export(tm, torch.randn(1, 3, 64, 64), path,
+                 do_constant_folding=False)
+    path2 = str(tmp_path / "unet_back.onnx")
+    mapping = write_back(path, module, variables, x, path2)
+    assert mapping.additions  # dedup happened and was de-aliased
+
+    model2 = load_model(path2)
+    want = np.asarray(module.apply(variables, x, train=False))
+    fn = OnnxGraphFunction(model2)
+    got = np.asarray(
+        fn(fn.weights,
+           jnp.asarray(np.transpose(np.asarray(x), (0, 3, 1, 2))))[0]
+    ).transpose(0, 2, 3, 1)
+    assert np.max(np.abs(got - want)) < 2e-2  # executor-vs-native numerics
+
+    # and the rewritten checkpoint transplants back to the exact values
+    variables2 = module.init(jax.random.PRNGKey(8), x)
+    back, _ = transplant(model2, module, variables2, x)
+    assert _tree_max_diff(variables, back) == 0.0
+
+
 def test_crnn_folded_export_is_refused(tmp_path):
     """CRNN has no write-back path through the torchscript exporter: the
     folded export (the only one whose GRU weights are initializer-backed)

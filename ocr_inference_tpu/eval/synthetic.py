@@ -143,6 +143,9 @@ def render_page(
     page_w: int = 1024,
     margin: int = 48,
     gap: tuple[int, int] = (50, 90),
+    n_syllables: tuple[int, int] = (4, 10),
+    syllable_len: tuple[int, int] = (1, 4),
+    align: str = "random",
 ) -> SyntheticPage:
     """A pecha-like page: stacked text lines, light paper, dark ink, plus
     the exact line mask (the segmentation ground truth) and transcripts.
@@ -163,7 +166,7 @@ def render_page(
 
     max_w = page_w - 2 * margin
     for i in range(n):
-        tokens = sample_tokens(rng, charset)
+        tokens = sample_tokens(rng, charset, n_syllables, syllable_len)
         strip_rgb = render_line_strip(tokens, glyphs, rng)
         # trim token list until the strip fits the text area
         while strip_rgb.shape[1] > max_w and len(tokens) > 2:
@@ -172,7 +175,16 @@ def render_page(
                 tokens = tokens[:-1]
             strip_rgb = render_line_strip(tokens, glyphs, rng)
         y0 = margin + i * pitch + int(rng.randint(-3, 4))
-        x0 = margin + int(rng.randint(0, max(max_w - strip_rgb.shape[1], 1)))
+        if align == "left":
+            # pecha-style: lines share the left margin (the layout the
+            # reference's slice-voting reading-order sort assumes —
+            # line_detection.py:362-424 votes in the vertical slice with
+            # the most contours, degenerate when short lines scatter)
+            x0 = margin + int(rng.randint(0, 9))
+        else:
+            x0 = margin + int(
+                rng.randint(0, max(max_w - strip_rgb.shape[1], 1))
+            )
         sh, sw = strip_rgb.shape[:2]
         page[y0 : y0 + sh, x0 : x0 + sw] = strip_rgb
         mask[y0 : y0 + sh, x0 : x0 + sw] = 255
@@ -190,6 +202,8 @@ def extraction_matched_strip(
     bbox_tolerance: float = 4.0,
     gap: tuple[int, int] = (50, 90),
     tokens: list[str] | None = None,
+    n_syllables: tuple[int, int] = (4, 10),
+    syllable_len: tuple[int, int] = (1, 4),
 ) -> tuple[np.ndarray, list[str]]:
     """One recognizer training sample produced by the REAL strip-extraction
     path: the target line rendered in page context (neighbour lines above
@@ -202,7 +216,7 @@ def extraction_matched_strip(
     from ocr_inference_tpu.geometry.lines import get_line_image
 
     if tokens is None:
-        tokens = sample_tokens(rng, charset)
+        tokens = sample_tokens(rng, charset, n_syllables, syllable_len)
     strip = render_line_strip(tokens, glyphs, rng)
     h_line = glyphs.height
     pitch = h_line + int(rng.randint(*gap))
@@ -229,7 +243,10 @@ def extraction_matched_strip(
             x0 = margin
             y_t, x_t = y0, x0
         else:
-            s = render_line_strip(sample_tokens(rng, charset), glyphs, rng)
+            s = render_line_strip(
+                sample_tokens(rng, charset, n_syllables, syllable_len),
+                glyphs, rng,
+            )
             s = s[:, : canvas_w - margin]
             x0 = int(rng.randint(0, max(canvas_w - margin - s.shape[1], 1)))
         canvas[y0 : y0 + s.shape[0], x0 : x0 + s.shape[1]] = s
@@ -261,6 +278,8 @@ def recognizer_batch(
     input_height: int = 80,
     width: int = 512,
     max_label: int = 48,
+    n_syllables: tuple[int, int] = (4, 10),
+    syllable_len: tuple[int, int] = (1, 4),
 ) -> dict:
     """CTC training batch in the RecognitionEngine's exact input
     representation: strips -> pad_ocr_line canvas -> grayscale -> cv2
@@ -273,7 +292,10 @@ def recognizer_batch(
     labels = np.zeros((batch, max_label), np.int32)
     label_lengths = np.zeros((batch,), np.int32)
     for b in range(batch):
-        strip, tokens = extraction_matched_strip(rng, glyphs, charset)
+        strip, tokens = extraction_matched_strip(
+            rng, glyphs, charset,
+            n_syllables=n_syllables, syllable_len=syllable_len,
+        )
         if len(tokens) > max_label:
             tokens = tokens[: max_label - 1]
             strip, _ = extraction_matched_strip(

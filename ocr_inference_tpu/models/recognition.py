@@ -108,6 +108,10 @@ class Easter2(nn.Module):
     vocab_size: int
     variant: str = "base"
     stem_features: int = 128
+    # uniform channel-width scale for the conv trunk (tests and
+    # resource-bounded deployments train reduced variants; 1.0 is the
+    # published-architecture geometry)
+    width_mult: float = 1.0
     dtype: Dtype = jnp.bfloat16
     ln_eps: float = 1e-6  # see MHSABlock.ln_eps
 
@@ -118,6 +122,9 @@ class Easter2(nn.Module):
             x = x.reshape(x.shape[0], x.shape[-2], x.shape[-1])
         x = jnp.transpose(x, (0, 2, 1)).astype(self.dtype)
 
+        w256 = max(int(256 * self.width_mult), 8)
+        w512 = max(int(512 * self.width_mult), 8)
+
         # stem: stride-4 downsample along width
         x = ConvBN1D(self.stem_features, kernel=3, strides=2, dtype=self.dtype)(
             x, train
@@ -126,19 +133,19 @@ class Easter2(nn.Module):
             x, train
         )
 
-        x = Easter2Block(256, kernel=5, dtype=self.dtype)(x, train)
-        x = Easter2Block(256, kernel=7, dtype=self.dtype)(x, train)
-        x = Easter2Block(512, kernel=9, dtype=self.dtype)(x, train)
+        x = Easter2Block(w256, kernel=5, dtype=self.dtype)(x, train)
+        x = Easter2Block(w256, kernel=7, dtype=self.dtype)(x, train)
+        x = Easter2Block(w512, kernel=9, dtype=self.dtype)(x, train)
 
         if self.variant in ("attention", "vit"):
             depth = 2 if self.variant == "attention" else 4
             for _ in range(depth):
-                x = MHSABlock(512, dtype=self.dtype, ln_eps=self.ln_eps)(
+                x = MHSABlock(w512, dtype=self.dtype, ln_eps=self.ln_eps)(
                     x, train
                 )
 
-        x = ConvBN1D(512, kernel=11, dilation=2, dtype=self.dtype)(x, train)
-        x = ConvBN1D(512, kernel=1, dtype=self.dtype)(x, train)
+        x = ConvBN1D(w512, kernel=11, dilation=2, dtype=self.dtype)(x, train)
+        x = ConvBN1D(w512, kernel=1, dtype=self.dtype)(x, train)
         logits = nn.Conv(self.vocab_size, (1,), dtype=jnp.float32)(
             x.astype(jnp.float32)
         )
@@ -203,16 +210,21 @@ class CRNN(nn.Module):
         return logits  # (B, W//4, V)
 
 
-def build_recognizer(architecture: str, vocab_size: int, dtype=jnp.bfloat16):
+def build_recognizer(architecture: str, vocab_size: int, dtype=jnp.bfloat16,
+                     **kwargs):
     """Factory keyed by the reference architecture names
-    (reference: Config.py:71-77)."""
+    (reference: Config.py:71-77). ``kwargs`` pass through to the module
+    (e.g. ``width_mult``/``stem_features`` for reduced Easter2 variants,
+    ``hidden`` for CRNN)."""
     arch = architecture.lower()
     if arch in ("easter2", "easter2b"):
-        return Easter2(vocab_size=vocab_size, dtype=dtype)
+        return Easter2(vocab_size=vocab_size, dtype=dtype, **kwargs)
     if arch == "easter2-attention":
-        return Easter2(vocab_size=vocab_size, variant="attention", dtype=dtype)
+        return Easter2(vocab_size=vocab_size, variant="attention",
+                       dtype=dtype, **kwargs)
     if arch == "easter2-vit":
-        return Easter2(vocab_size=vocab_size, variant="vit", dtype=dtype)
+        return Easter2(vocab_size=vocab_size, variant="vit", dtype=dtype,
+                       **kwargs)
     if arch == "crnn":
-        return CRNN(vocab_size=vocab_size, dtype=dtype)
+        return CRNN(vocab_size=vocab_size, dtype=dtype, **kwargs)
     raise ValueError(f"Unknown recognizer architecture: {architecture}")

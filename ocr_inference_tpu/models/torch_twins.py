@@ -77,17 +77,19 @@ class TEaster2Block(tnn.Module):
 class TEaster2(tnn.Module):
     """Torch twin of models.recognition.Easter2 (base variant)."""
 
-    def __init__(self, height, width, vocab, stem=128):
+    def __init__(self, height, width, vocab, stem=128, width_mult=1.0):
         super().__init__()
         w2, w4 = -(-width // 2), -(-width // 4)
+        c256 = max(int(256 * width_mult), 8)
+        c512 = max(int(512 * width_mult), 8)
         self.stem1 = TConvBN1D(height, stem, 3, width, stride=2)
         self.stem2 = TConvBN1D(stem, stem, 3, w2, stride=2)
-        self.b1 = TEaster2Block(stem, 256, 5, w4)
-        self.b2 = TEaster2Block(256, 256, 7, w4)
-        self.b3 = TEaster2Block(256, 512, 9, w4)
-        self.post1 = TConvBN1D(512, 512, 11, w4, dilation=2)
-        self.post2 = TConvBN1D(512, 512, 1, w4)
-        self.head = tnn.Conv1d(512, vocab, 1, bias=True)
+        self.b1 = TEaster2Block(stem, c256, 5, w4)
+        self.b2 = TEaster2Block(c256, c256, 7, w4)
+        self.b3 = TEaster2Block(c256, c512, 9, w4)
+        self.post1 = TConvBN1D(c512, c512, 11, w4, dilation=2)
+        self.post2 = TConvBN1D(c512, c512, 1, w4)
+        self.head = tnn.Conv1d(c512, vocab, 1, bias=True)
 
     def forward(self, x):  # x: (B, H, W) = (B, C, L)
         x = self.stem2(self.stem1(x))

@@ -100,7 +100,22 @@ def build_recognition_engine(
             module, module.variables, config, kenlm_config, batch_cfg,
             mesh=mesh,
         )
-    model = build_recognizer(config.architecture, vocab_size, dtype=dtype)
+    # architecture geometry travels in the weight sidecar (save_params
+    # meta) so reduced trained variants (width_mult, stem) reload exactly
+    from ocr_inference_tpu.models.params import load_meta
+
+    weights = _find_weights(config.model_file)
+    meta = (load_meta(weights) if weights is not None else None) or {}
+    kwargs = {
+        k: t(meta[k])
+        for k, t in (
+            ("width_mult", float), ("stem_features", int), ("hidden", int),
+        )
+        if k in meta
+    }
+    model = build_recognizer(
+        config.architecture, vocab_size, dtype=dtype, **kwargs
+    )
     variables = _resolve_variables(
         model,
         lambda: init_recognizer(model, config.input_height, 256),
@@ -175,17 +190,19 @@ def build_pipeline(
     allow_random: bool = False,
     use_line_prepadding: bool = False,
     mesh: Optional[Mesh] = None,
+    dtype=jnp.bfloat16,
 ) -> OCRPipeline:
     """Full pipeline from configs (reference: OCRPipeline ctor,
     inference.py:440-463). With ``mesh``, both engines run data-parallel
     over its data axis (the reference is strictly single-stream,
-    inference.py:630-635)."""
+    inference.py:630-635). ``dtype`` sets both engines' compute precision
+    (bf16 rides the MXU; f32 for differential/parity runs)."""
     rec = build_recognition_engine(
         ocr_config, kenlm_config, batch_cfg, allow_random=allow_random,
-        mesh=mesh,
+        mesh=mesh, dtype=dtype,
     )
     det = build_detection_engine(line_config, allow_random=allow_random,
-                                 mesh=mesh)
+                                 mesh=mesh, dtype=dtype)
     return OCRPipeline(rec, det, line_config, use_line_prepadding)
 
 

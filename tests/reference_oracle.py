@@ -100,6 +100,61 @@ def load_reference():
     return ns
 
 
+def load_reference_pipeline():
+    """Import the reference's FULL pipeline (BDRC.inference.OCRPipeline)
+    with this framework's FUNCTIONAL compat shims backing onnxruntime /
+    pyctcdecode / pyewts / botok, so the reference's own code executes
+    real checkpoints through the framework's graph executor and decoders
+    (tests/test_reference_pipeline.py).
+
+    Only genuinely-unused imports get inert stubs (torchvision and
+    segmentation_models_pytorch feed the torch-CLI paths; tps feeds the
+    dewarp path, not exercised by the differential pages).
+    """
+    # drop any previously imported reference modules so they re-bind
+    # against the functional shims (earlier oracle families import some
+    # BDRC modules under inert stubs)
+    for name in list(sys.modules):
+        if name == "BDRC" or name.startswith("BDRC.") or name == "Config":
+            del sys.modules[name]
+    for name in ("onnxruntime", "pyctcdecode", "pyctcdecode.decoder",
+                 "pyewts", "botok"):
+        sys.modules.pop(name, None)
+
+    from ocr_inference_tpu import compat
+
+    installed = compat.install(force=True)
+    assert all(installed.values())
+
+    _stub_module("segmentation_models_pytorch", DeepLabV3Plus=_DeepLabV3Plus)
+    _stub_module("tps", ThinPlateSpline=_ThinPlateSpline)
+    tv_image = types.ModuleType("torchvision.io.image")
+
+    class _ImageReadMode:
+        RGB = 3
+
+    tv_image.ImageReadMode = _ImageReadMode
+    tv_io = types.ModuleType("torchvision.io")
+    tv_io.read_image = _InertClass
+    tv_io.image = tv_image
+    tv = types.ModuleType("torchvision")
+    tv.io = tv_io
+    for name, mod in (
+        ("torchvision", tv),
+        ("torchvision.io", tv_io),
+        ("torchvision.io.image", tv_image),
+    ):
+        sys.modules.setdefault(name, mod)
+
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+
+    import BDRC.data as ref_data
+    import BDRC.inference as ref_inference
+
+    return types.SimpleNamespace(inference=ref_inference, data=ref_data)
+
+
 # ---------------------------------------------------------------------------
 # Randomized fixtures: pecha-like pages and line masks
 # ---------------------------------------------------------------------------

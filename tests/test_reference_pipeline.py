@@ -260,6 +260,40 @@ def test_same_strips_read_identically(stack, page_runs):
     )
 
 
+def test_eval_mode_beams_agree_on_same_strips(stack, page_runs):
+    """Eval mode through both stacks on identical strips: the reference's
+    run_text_recognition_eval (run_beam_code -> pyctcdecode shim,
+    reference: inference.py:668-726) vs this framework's batched beam
+    path. Top-1 texts must match; length-normalized confidences must
+    agree to numeric tolerance (executor vs native logits)."""
+    from ocr_inference_tpu.core.data import Encoding as OurEncoding
+    from ocr_inference_tpu.core.data import OpStatus as OurStatus
+
+    rd = stack["ref"].data
+    page, _, _ = page_runs[0]
+
+    st, mask = stack["ours"].detect_lines(page.image)
+    st, built = stack["ours"].build_lines(page.image, mask)
+    rot_img, rot_mask, _, filtered, _ = built
+    st, extracted = stack["ours"].extract_lines(rot_img, rot_mask, filtered)
+    sorted_lines, strips = extracted
+
+    st_r, ref_lines = stack["theirs"].run_text_recognition_eval(
+        strips, sorted_lines, target_encoding=rd.Encoding.WYLIE
+    )
+    assert st_r == rd.OpStatus.SUCCESS
+    st_o, our_lines = stack["ours"].run_text_recognition_eval(
+        strips, sorted_lines, target_encoding=OurEncoding.WYLIE
+    )
+    assert st_o == OurStatus.SUCCESS
+
+    assert len(ref_lines) == len(our_lines) == len(strips)
+    for r, o in zip(ref_lines, our_lines):
+        assert r.text == o.text
+        assert abs(r.ctc_conf - o.ctc_conf) < 1e-2
+        assert len(r.logits) == len(o.logits)
+
+
 def test_reference_line_counts_match_ground_truth(page_runs):
     """Detection + geometry through both stacks find the rendered lines."""
     for page, payload_ours, payload_ref in page_runs:

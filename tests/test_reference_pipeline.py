@@ -294,6 +294,92 @@ def test_eval_mode_beams_agree_on_same_strips(stack, page_runs):
         assert len(r.logits) == len(o.logits)
 
 
+def test_layout_detection_mask_parity(tmp_path):
+    """The layout branch (reference: LayoutDetection.predict,
+    inference.py:186-276 — 5-class softmax, threshold 0.8, stitch, crop,
+    resize) through the reference's own code + ort shim vs this
+    framework's SegmentationEngine in layout mode, on the same
+    written-back DeepLabV3+ checkpoint."""
+    import jax
+
+    from ocr_inference_tpu.eval.synthetic import (
+        WYLIE_CHARSET, GlyphSet, render_page,
+    )
+    from ocr_inference_tpu.models.params import init_segmentation
+    from ocr_inference_tpu.models.segmentation import DeepLabV3Plus
+    from ocr_inference_tpu.models.torch_twins import TDeepLabV3Plus
+    from ocr_inference_tpu.onnx.export_shim import torch_export
+    from ocr_inference_tpu.onnx.retroplant import write_back
+    from ocr_inference_tpu.pipeline.engines import SegmentationEngine
+
+    patch = 256
+    classes = ["background", "image", "line", "caption", "margin"]
+    module = DeepLabV3Plus(classes=5, dtype=jnp.float32)
+    variables = init_segmentation(module, patch)
+    # spread the head so softmax crosses the 0.8 threshold in patterns
+    # driven by the input (a fresh init is uniform ~0.2 -> all-empty masks
+    # on both sides would be a vacuous comparison)
+    leaves, treedef = jax.tree_util.tree_flatten(variables)
+    rng = np.random.RandomState(3)
+    variables = jax.tree_util.tree_unflatten(
+        treedef,
+        [
+            jnp.asarray(
+                np.asarray(l, np.float32)
+                + rng.uniform(-0.05, 0.05, np.shape(l)).astype(np.float32)
+            )
+            for l in leaves
+        ],
+    )
+    head = variables["params"]["Conv_0"]
+    variables["params"]["Conv_0"] = {
+        "kernel": head["kernel"] * 60.0,
+        "bias": jnp.asarray(
+            rng.uniform(-1.5, 1.5, np.shape(head["bias"])).astype(np.float32)
+        ),
+    }
+
+    twin = TDeepLabV3Plus(hw=(patch, patch), classes=5).eval()
+    tpl = str(tmp_path / "layout_tpl.onnx")
+    torch_export(
+        twin, torch.randn(1, 3, patch, patch), tpl,
+        do_constant_folding=False,
+        input_names=["input"], output_names=["output"],
+        dynamic_axes={"input": {0: "batch"}, "output": {0: "batch"}},
+    )
+    onnx_path = str(tmp_path / "layout.onnx")
+    write_back(tpl, module, variables,
+               jnp.zeros((1, patch, patch, 3), jnp.float32), onnx_path)
+
+    glyphs = GlyphSet(height=fx.GLYPH_H, seed=7)
+    page = render_page(
+        np.random.RandomState(99), glyphs, WYLIE_CHARSET,
+        n_lines=(3, 4), page_w=2 * patch, align="left",
+        n_syllables=fx.N_SYLLABLES, syllable_len=fx.SYLLABLE_LEN,
+    )
+
+    ref = load_reference_pipeline()
+    cfg = ref.data.LayoutDetectionConfig(
+        checkpoint="", onnx_file=onnx_path, architecture="deeplabv3",
+        patch_size=patch, classes=classes,
+    )
+    mask_ref = ref.inference.LayoutDetection(cfg).predict(page.image)
+
+    ours = SegmentationEngine(
+        module, variables, mode="layout", patch_size=patch, classes=classes
+    )
+    mask_ours = ours.predict(page.image)
+
+    assert mask_ref.shape == mask_ours.shape
+    assert mask_ref.dtype == mask_ours.dtype == np.uint8
+    # at least one class fires somewhere (non-vacuous comparison)...
+    assert mask_ref.max() == 255 and mask_ours.max() == 255
+    # ...and the masks agree to numeric tolerance (executor-vs-native
+    # logit deltas flip only threshold-marginal pixels)
+    frac = float(np.mean(mask_ref != mask_ours))
+    assert frac < 0.01, f"{frac:.4%} of mask pixels differ"
+
+
 def test_reference_line_counts_match_ground_truth(page_runs):
     """Detection + geometry through both stacks find the rendered lines."""
     for page, payload_ours, payload_ref in page_runs:

@@ -314,6 +314,95 @@ def test_pad_ocr_line_byte_equal(seed):
     assert np.abs(ref_out.astype(int) - my_out.astype(int)).max() <= 1
 
 
+@pytest.mark.parametrize("seed", range(N_CASES))
+def test_host_utils_named_twins_byte_equal(seed):
+    """The host named-function surface (ops_host) against the reference's
+    own utils.py implementations on random shapes — byte equality.
+
+    These share cv2.resize call-for-call, so even the IPP-HAL resize
+    rounding cancels: the contract here is exact bytes, not ±1."""
+    import ocr_inference_tpu.ops_host as host
+
+    rng = np.random.RandomState(seed + 9100)
+    h = int(rng.randint(40, 900))
+    w = int(rng.randint(40, 2200))
+    img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+
+    tw, th = int(rng.randint(16, 800)), int(rng.randint(16, 800))
+    assert (
+        REF.utils.resize_image(img, tw, th) == host.resize_image(img, tw, th)
+    ).all()
+    ref_r, ref_s = REF.utils.resize_to_height(img, th)
+    my_r, my_s = host.resize_to_height(img, th)
+    assert ref_s == my_s and (ref_r == my_r).all()
+    ref_r, ref_s = REF.utils.resize_to_width(img, tw)
+    my_r, my_s = host.resize_to_width(img, tw)
+    assert ref_s == my_s and (ref_r == my_r).all()
+
+    patch = int(rng.choice([128, 256, 512]))
+    assert REF.utils.calculate_steps(img, patch) == host.calculate_steps(img, patch)
+    xs, ys = host.calculate_steps(img, patch)
+    assert REF.utils.calculate_paddings(
+        img, xs, ys, patch
+    ) == host.calculate_paddings(img, xs, ys, patch)
+    assert REF.utils.get_paddings(img, patch) == host.get_paddings(img, patch)
+    px, py = host.get_paddings(img, patch)
+    pv = int(rng.randint(0, 256))
+    assert (
+        REF.utils.pad_image(img, px, py, pv) == host.pad_image(img, px, py, pv)
+    ).all()
+
+    # preprocess_image across all four branches (wide-clamp / tall-clamp /
+    # short-upscale / pad-only), driven by the random shape + these extremes
+    for shape in [
+        (h, w),
+        (600, 5000),   # wide > clamp_width
+        (2500, 700),   # tall > clamp_height
+        (300, 900),    # short < patch 512
+    ]:
+        page = rng.randint(0, 256, (*shape, 3)).astype(np.uint8)
+        ref_out = REF.utils.preprocess_image(page)
+        my_out = host.preprocess_image(page)
+        assert ref_out[1:] == my_out[1:]
+        assert (ref_out[0] == my_out[0]).all()
+
+    padded = host.pad_image(img, px, py, 255)
+    ref_tiles, ref_ys = REF.utils.tile_image(padded, patch)
+    my_tiles, my_ys = host.tile_image(padded, patch)
+    assert ref_ys == my_ys and len(ref_tiles) == len(my_tiles)
+    assert all((a == b).all() for a, b in zip(ref_tiles, my_tiles))
+    pred = rng.rand(len(my_tiles), patch, patch).astype(np.float32)
+    assert (
+        REF.utils.stitch_predictions(pred, my_ys)
+        == host.stitch_predictions(pred, my_ys)
+    ).all()
+
+    theta = rng.uniform(-np.pi, np.pi, 17)
+    rho = rng.uniform(0, 50, 17)
+    assert np.allclose(REF.utils.pol2cart(theta, rho), host.pol2cart(theta, rho))
+    x, y = host.pol2cart(theta, rho)
+    assert np.allclose(REF.utils.cart2pol(x, y), host.cart2pol(x, y))
+
+    # line-canvas padding family: strip shapes keep middle >= 0 like the
+    # reference's callers do (inference.py:313-334)
+    strip = rng.randint(0, 256, (int(rng.randint(24, 100)), int(rng.randint(200, 3200)), 3)).astype(np.uint8)
+    padding = "white" if seed % 2 else "black"
+    assert (
+        REF.utils.pad_ocr_line(strip, padding=padding)
+        == host.pad_ocr_line(strip, padding=padding)
+    ).all()
+    wide = rng.randint(0, 256, (40, 900, 3)).astype(np.uint8)
+    assert (
+        REF.utils.pad_to_width(wide, 1200, 100, padding)
+        == host.pad_to_width(wide, 1200, 100, padding)
+    ).all()
+    tall = rng.randint(0, 256, (200, 60, 3)).astype(np.uint8)
+    assert (
+        REF.utils.pad_to_height(tall, 400, 120, padding)
+        == host.pad_to_height(tall, 400, 120, padding)
+    ).all()
+
+
 @pytest.mark.parametrize("seed", range(0, N_CASES, 2))
 def test_rotate_contour_equal(seed):
     rng = np.random.RandomState(seed)

@@ -659,6 +659,38 @@ def get_union_bbox(contours: list[np.ndarray]):
 
 
 # ---------------------------------------------------------------------------
+# Coordinate rescaling between detection resolution and the original image
+# (reference torch path: BDRC/utils.py:1054-1079). The batched engines run
+# detection at clamped resolution; these map geometry back.
+# ---------------------------------------------------------------------------
+
+def contour_to_cv(contour) -> np.ndarray:
+    """[(x, y), ...] -> cv2-shaped (N, 1, 2) int32 contour
+    (reference: BDRC/utils.py:1054-1060)."""
+    return np.asarray(contour, dtype=np.int32).reshape(-1, 1, 2)
+
+
+def contour_to_original(contour, scale_x: float, scale_y: float):
+    """Rescale [(x, y), ...] from detection to original resolution
+    (reference: BDRC/utils.py:1062-1070)."""
+    return [
+        (int(round(x / scale_x)), int(round(y / scale_y))) for x, y in contour
+    ]
+
+
+def bbox_to_original(bbox, scale_x: float, scale_y: float):
+    """Rescale an (x, y, w, h) rect from detection to original resolution
+    (reference: BDRC/utils.py:1072-1079)."""
+    x, y, w, h = bbox
+    return (
+        int(round(x / scale_x)),
+        int(round(y / scale_y)),
+        int(round(w / scale_x)),
+        int(round(h / scale_y)),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Text-area analysis (layout-era helpers)
 # ---------------------------------------------------------------------------
 

@@ -154,6 +154,27 @@ def stitch_predictions(prediction: np.ndarray, y_steps: int) -> np.ndarray:
     return grid.reshape(y_steps * p, xs * p, *prediction.shape[3:])
 
 
+def resize_clamp(
+    img: np.ndarray, patch_size: int = 512, max_w: int = 4096, max_h: int = 2048
+) -> tuple[np.ndarray, float, float]:
+    """Clamp/upscale with exact per-axis scale factors; returns
+    (image, scale_x, scale_y). Host numpy twin of the reference's torch-path
+    clamp (BDRC/utils.py:967-1000) — same rounding of the target shape, so
+    downstream contour_to_original/bbox_to_original rescales agree; bilinear
+    (half-pixel) resampling like torch's align_corners=False."""
+    h, w = img.shape[:2]
+    if w > h and w > max_w:
+        scale = max_w / w
+    elif h > w and h > max_h:
+        scale = max_h / h
+    elif h < patch_size:
+        scale = patch_size / h
+    else:
+        return img, 1.0, 1.0
+    new_h, new_w = int(round(h * scale)), int(round(w * scale))
+    return resize_image(img, new_w, new_h), new_w / w, new_h / h
+
+
 # ---------------------------------------------------------------------------
 # Polar helpers + line-canvas padding (reference: BDRC/utils.py:624-633,
 # 818-899). The device twin of the canvas is ops/tiling.py:pad_ocr_line.

@@ -404,6 +404,37 @@ def test_host_utils_named_twins_byte_equal(seed):
 
 
 @pytest.mark.parametrize("seed", range(0, N_CASES, 2))
+def test_torch_path_coord_helpers_equal(seed):
+    """The torch-path coordinate helpers (utils.py:967-1079) against their
+    named rebuild twins: exact integer rescales, exact clamp scale factors
+    and shapes; clamped pixels within torch-vs-cv2 bilinear rounding."""
+    import torch
+
+    import ocr_inference_tpu.ops_host as host
+
+    rng = np.random.RandomState(seed + 4400)
+    pts = [(int(x), int(y)) for x, y in rng.randint(0, 4000, (25, 2))]
+    sx, sy = float(rng.uniform(0.2, 2.0)), float(rng.uniform(0.2, 2.0))
+    assert REF.utils.contour_to_original(pts, sx, sy) == my_lines.contour_to_original(pts, sx, sy)
+    bbox = tuple(int(v) for v in rng.randint(1, 3000, 4))
+    assert REF.utils.bbox_to_original(bbox, sx, sy) == my_lines.bbox_to_original(bbox, sx, sy)
+    assert (REF.utils.contour_to_cv(pts) == my_lines.contour_to_cv(pts)).all()
+
+    for h, w in [
+        (int(rng.randint(80, 2600)), int(rng.randint(80, 5000))),
+        (600, 5000), (2500, 700), (300, 900), (1600, 2640),
+    ]:
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        t = torch.from_numpy(img).permute(2, 0, 1)
+        ref_img, ref_sx, ref_sy = REF.utils.resize_clamp(t)
+        my_img, my_sx, my_sy = host.resize_clamp(img)
+        assert (ref_sx, ref_sy) == (my_sx, my_sy)
+        assert tuple(ref_img.shape[1:]) == my_img.shape[:2]
+        if (ref_sx, ref_sy) == (1.0, 1.0):
+            assert (my_img == img).all()
+
+
+@pytest.mark.parametrize("seed", range(0, N_CASES, 2))
 def test_rotate_contour_equal(seed):
     rng = np.random.RandomState(seed)
     n = int(rng.randint(4, 60))

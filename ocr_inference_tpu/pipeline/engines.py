@@ -497,42 +497,17 @@ def pad_ocr_line_host(
 ) -> np.ndarray:
     """Host (numpy/cv2) aspect-preserving canvas pad, byte-parity with the
     reference (BDRC/utils.py:818-899, inference.py:313-334). Used to build
-    static-shape line batches cheaply before the device call."""
-    value = 255 if padding == "white" else 0
-    h, w = img.shape[:2]
-    c = img.shape[2] if img.ndim == 3 else 1
-    width_ratio = target_width / w
-    height_ratio = target_height / h
+    static-shape line batches cheaply before the device call.
 
-    if width_ratio <= height_ratio:
-        tmp = cv2.resize(
-            img, (target_width, int(h * (target_width / w))),
-            interpolation=cv2.INTER_LINEAR,
-        )
-        middle = (target_height - tmp.shape[0]) // 2
-        up = np.full((middle, target_width, c), value, np.uint8)
-        lo = np.full(
-            (target_height - tmp.shape[0] - middle, target_width, c),
-            value, np.uint8,
-        )
-        out = np.vstack([up, tmp.reshape(tmp.shape[0], target_width, c), lo])
-    else:
-        tmp = cv2.resize(
-            img, (int(w * (target_height / h)), target_height),
-            interpolation=cv2.INTER_LINEAR,
-        )
-        middle = (target_width - tmp.shape[1]) // 2
-        le = np.full((target_height, middle, c), value, np.uint8)
-        ri = np.full(
-            (target_height, target_width - tmp.shape[1] - middle, c),
-            value, np.uint8,
-        )
-        out = np.hstack([le, tmp.reshape(target_height, tmp.shape[1], c), ri])
-    if out.shape[:2] != (target_height, target_width):
-        out = cv2.resize(
-            out, (target_width, target_height), interpolation=cv2.INTER_LINEAR
-        )
-        out = out.reshape(target_height, target_width, c)
+    One implementation: delegates to the differentially pinned
+    ops_host.pad_ocr_line (byte-equal vs the reference's own code in
+    tests/test_reference_diff.py), guaranteeing a 3-D (H, W, C) result for
+    the engines' batch stacking."""
+    from ocr_inference_tpu.ops_host import pad_ocr_line
+
+    out = pad_ocr_line(img, target_width, target_height, padding)
+    if out.ndim == 2:
+        out = out[..., None]
     return out
 
 

@@ -222,14 +222,31 @@ class TConvBN2D(tnn.Module):
         return F.relu(self.bn(self.conv(x)))
 
 
-class TUNet(tnn.Module):
-    """Torch twin of models.segmentation.UNet."""
+def space_to_depth_nchw(x, k: int):
+    """NCHW space-to-depth in the ONNX / flax channel order: output channel
+    index = (bi*k + bj)*C + c (torch's pixel_unshuffle uses the OTHER,
+    c-major order and is NOT numerically interchangeable)."""
+    b, c, h, w = x.shape
+    x = x.reshape(b, c, h // k, k, w // k, k)
+    x = x.permute(0, 3, 5, 1, 2, 4)
+    return x.reshape(b, c * k * k, h // k, w // k)
 
-    def __init__(self, width=8, classes=1, in_ch=3):
+
+class TUNet(tnn.Module):
+    """Torch twin of models.segmentation.UNet (incl. the space-to-depth
+    stem variant, stem_stride=2)."""
+
+    def __init__(self, width=8, classes=1, in_ch=3, stem_stride=1):
         super().__init__()
         feats = [width, width * 2, width * 4, width * 8]
-        downs = []
+        self.stem_stride = stem_stride
+        self.stem_conv = None
+        self.stem_out = None
         cin = in_ch
+        if stem_stride > 1:
+            self.stem_conv = TConvBN2D(in_ch, width // 2)
+            cin = in_ch * stem_stride * stem_stride
+        downs = []
         for f in feats:
             downs.append(tnn.ModuleList([TConvBN2D(cin, f), TConvBN2D(f, f)]))
             cin = f
@@ -246,9 +263,17 @@ class TUNet(tnn.Module):
             ]))
             cin = f
         self.ups = tnn.ModuleList(ups)
-        self.head = tnn.Conv2d(feats[0], classes, 1, bias=True)
+        head_in = feats[0]
+        if stem_stride > 1:
+            self.stem_out = TConvBN2D(feats[0] + width // 2, width // 2)
+            head_in = width // 2
+        self.head = tnn.Conv2d(head_in, classes, 1, bias=True)
 
     def forward(self, x):  # NCHW
+        stem = None
+        if self.stem_conv is not None:
+            stem = self.stem_conv(x)
+            x = space_to_depth_nchw(x, self.stem_stride)
         skips = []
         for c1, c2 in self.downs:
             x = c2(c1(x))
@@ -260,6 +285,13 @@ class TUNet(tnn.Module):
             x = up_conv(F.pad(x, (0, 1, 0, 1)))
             x = torch.cat([x, skip], dim=1)
             x = c2(c1(x))
+        if stem is not None:
+            s = self.stem_stride
+            while s > 1:  # power-of-two stride -> log2(s) upsamples
+                x = F.interpolate(x, scale_factor=2, mode="nearest")
+                s //= 2
+            x = torch.cat([x, stem], dim=1)
+            x = self.stem_out(x)
         return self.head(x)
 
 

@@ -229,6 +229,34 @@ def _unsqueeze(node, inputs):
     return (out,)
 
 
+@register("SpaceToDepth")
+def _space_to_depth(node, inputs):
+    """tf2onnx emits this for tf.nn.space_to_depth (and it is the on-wire
+    form of the UNet stem2 variant's lossless stem regrouping). ONNX order:
+    output channel index = (bi*k + bj)*C + c."""
+    k = int(node.attr("blocksize"))
+    x = inputs[0]
+    n, c, h, w = x.shape
+    x = jnp.reshape(x, (n, c, h // k, k, w // k, k))
+    x = jnp.transpose(x, (0, 3, 5, 1, 2, 4))
+    return (jnp.reshape(x, (n, c * k * k, h // k, w // k)),)
+
+
+@register("DepthToSpace")
+def _depth_to_space(node, inputs):
+    k = int(node.attr("blocksize"))
+    mode = node.attr("mode", "DCR")
+    x = inputs[0]
+    n, c, h, w = x.shape
+    if mode == "DCR":
+        x = jnp.reshape(x, (n, k, k, c // (k * k), h, w))
+        x = jnp.transpose(x, (0, 3, 4, 1, 5, 2))
+    else:  # CRD (torch pixel_shuffle order)
+        x = jnp.reshape(x, (n, c // (k * k), k, k, h, w))
+        x = jnp.transpose(x, (0, 1, 4, 2, 5, 3))
+    return (jnp.reshape(x, (n, c // (k * k), h * k, w * k)),)
+
+
 @register("Flatten")
 def _flatten(node, inputs):
     axis = node.attr("axis", 1)

@@ -160,8 +160,12 @@ def retroplant(
 
         if layer.kind == "conv":
             op = expect("conv")
-            emit(op, "kernel",
-                 _conv_kernel_to_onnx(_get_in(params, layer.path, "kernel")))
+            kernel = _conv_kernel_to_onnx(_get_in(params, layer.path, "kernel"))
+            if op.kernel is not None and kernel.ndim + 1 == op.kernel.ndim \
+                    and op.kernel.shape[2] == 1:
+                # tf2onnx 1-D-conv-as-2-D slot: OIW -> OI1W
+                kernel = kernel[:, :, None, :]
+            emit(op, "kernel", kernel)
             if op.bias is not None:
                 if not layer.has_bias:
                     raise RetroplantError(
@@ -179,15 +183,28 @@ def retroplant(
             oi += 1
         elif layer.kind == "bn":
             op = expect("bn")
-            emit(op, "scale", _get_in(params, layer.path, "scale"))
-            emit(op, "bias", _get_in(params, layer.path, "bias"))
-            emit(op, "mean", _get_in(batch_stats, layer.path, "mean"))
-            # transplant: flax_var = onnx_var + (eps_onnx - eps_flax)
-            emit(
-                op, "var",
-                _get_in(batch_stats, layer.path, "var")
-                - (op.epsilon - _FLAX_BN_EPS),
-            )
+            if op.decomposed:
+                # tf2onnx/keras Mul+Add decomposition: fold the trained BN
+                # into the graph's two per-channel constants, in the
+                # exporter's on-wire constant shapes
+                scale = _get_in(params, layer.path, "scale")
+                bias = _get_in(params, layer.path, "bias")
+                mean = _get_in(batch_stats, layer.path, "mean")
+                var = _get_in(batch_stats, layer.path, "var")
+                s = scale / np.sqrt(var + _FLAX_BN_EPS)
+                b = bias - mean * s
+                emit(op, "scale", s.reshape(op.const_shapes["scale"]))
+                emit(op, "bias", b.reshape(op.const_shapes["bias"]))
+            else:
+                emit(op, "scale", _get_in(params, layer.path, "scale"))
+                emit(op, "bias", _get_in(params, layer.path, "bias"))
+                emit(op, "mean", _get_in(batch_stats, layer.path, "mean"))
+                # transplant: flax_var = onnx_var + (eps_onnx - eps_flax)
+                emit(
+                    op, "var",
+                    _get_in(batch_stats, layer.path, "var")
+                    - (op.epsilon - _FLAX_BN_EPS),
+                )
             oi += 1
         elif layer.kind == "dense":
             op = expect("dense")

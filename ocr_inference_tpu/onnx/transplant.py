@@ -62,6 +62,12 @@ class WeightedOp:
     rec_kernel: Optional[np.ndarray] = None
     num_dirs: int = 1
     linear_before_reset: bool = False
+    # bn synthesized from a keras/tf2onnx-style Mul+Add decomposition; the
+    # graph holds folded per-channel constants, not the four BN statistics.
+    # const_shapes records the on-wire constant shapes (e.g. (C, 1) or
+    # (1, C, 1, 1)) so retroplant can write back in the exporter's layout.
+    decomposed: bool = False
+    const_shapes: dict = field(default_factory=dict)
 
 
 def onnx_weighted_ops(model: wire.Model) -> list[WeightedOp]:
@@ -198,6 +204,51 @@ def onnx_weighted_ops(model: wire.Model) -> list[WeightedOp]:
                     },
                 )
             )
+        elif (
+            node.op_type == "Mul"
+            and len(node.inputs) == 2
+            and sum(i in inits for i in node.inputs) == 1
+        ):
+            # keras/tf2onnx idiom: BatchNorm decomposed into
+            # Mul(x, gamma/sqrt(var+eps)) + Add(., beta - mean*scale) with
+            # per-channel broadcast constants. Synthesize a "bn" op whose
+            # statistics make the Flax BatchNorm the exact same affine map
+            # (mean 0, stored var 1 - eps so the denominator is exactly 1).
+            s_name = next(i for i in node.inputs if i in inits)
+            s = inits[s_name]
+            if not (s.size > 1 and s.size == max(s.shape, default=0)):
+                continue  # not a per-channel constant
+            for jdx in range(idx + 1, min(idx + 3, len(nodes))):
+                nxt = nodes[jdx]
+                if (
+                    nxt.op_type == "Add"
+                    and node.outputs[0] in nxt.inputs
+                    and any(i in inits for i in nxt.inputs)
+                ):
+                    b_name = next(i for i in nxt.inputs if i in inits)
+                    b = inits[b_name]
+                    if b.shape != s.shape:
+                        break
+                    c = s.size
+                    ops.append(
+                        WeightedOp(
+                            "bn",
+                            node,
+                            scale=s.reshape(c).astype(np.float32),
+                            bias=b.reshape(c).astype(np.float32),
+                            mean=np.zeros(c, np.float32),
+                            var=np.full(c, 1.0 - _FLAX_BN_EPS, np.float32),
+                            epsilon=_FLAX_BN_EPS,
+                            output=nxt.outputs[0],
+                            input_names={"scale": s_name, "bias": b_name},
+                            decomposed=True,
+                            const_shapes={
+                                "scale": s.shape, "bias": b.shape,
+                            },
+                        )
+                    )
+                    consumed_adds.add(jdx)
+                    break
         elif node.op_type == "MatMul" and node.inputs[1] in inits:
             op = WeightedOp(
                 "dense", node, kernel=inits[node.inputs[1]],
@@ -301,6 +352,13 @@ def _set_in(tree: dict, path: tuple[str, ...], leaf_name: str, value,
                 f"flax {tuple(old.shape)} vs onnx {tuple(value.shape)}"
             )
     node[leaf_name] = jnp.asarray(value, dtype=old.dtype)
+
+
+def _peek_in(tree: dict, path: tuple[str, ...], leaf_name: str):
+    node = tree
+    for p in path:
+        node = node[p]
+    return node[leaf_name]
 
 
 def _conv_kernel_to_flax(kernel: np.ndarray) -> np.ndarray:
@@ -424,8 +482,13 @@ def transplant(
                     f"expected conv for {path_str}"
                 )
             op = ops[oi]
-            _set_in(params, layer.path, "kernel",
-                    _conv_kernel_to_flax(op.kernel))
+            kernel = _conv_kernel_to_flax(op.kernel)
+            want = _peek_in(params, layer.path, "kernel")
+            if kernel.ndim == want.ndim + 1 and kernel.shape[0] == 1:
+                # tf2onnx runs 1-D convs as 2-D inside an Unsqueeze/Conv/
+                # Squeeze chain: HWIO (1, K, I, O) -> flax WIO (K, I, O)
+                kernel = kernel[0]
+            _set_in(params, layer.path, "kernel", kernel)
             folded = False
             if op.bias is not None:
                 if layer.has_bias:
@@ -617,14 +680,22 @@ def verify_transplant(
         if f is None:
             continue
         g = np.asarray(got[entry.onnx_output])
-        if g.ndim == f.ndim and g.shape != f.shape:
-            # NCHW/NCW graph tensor vs NHWC/NWC flax tensor
-            if g.ndim == 4:
-                g = g.transpose(0, 2, 3, 1)
-            elif g.ndim == 3:
-                g = g.transpose(0, 2, 1)
-        if g.shape == f.shape:
-            entry.max_abs_diff = float(np.max(np.abs(g - f)))
+        # NCHW/NCW graph tensor vs NHWC/NWC flax tensor. When the shape is
+        # transpose-symmetric (e.g. a (1, 16, 16, 16) feature map) the
+        # layout cannot be told from shapes alone — compare both and keep
+        # the smaller diff (the transplant itself is exact; this check is
+        # advisory per-layer localization).
+        candidates = [g]
+        if g.ndim == f.ndim and g.ndim in (3, 4):
+            perm = (0, 2, 3, 1) if g.ndim == 4 else (0, 2, 1)
+            candidates.append(g.transpose(perm))
+        diffs = [
+            float(np.max(np.abs(c - f)))
+            for c in candidates
+            if c.shape == f.shape
+        ]
+        if diffs:
+            entry.max_abs_diff = min(diffs)
 
     final_fn = OnnxGraphFunction(model)
     final = np.asarray(final_fn(final_fn.weights, jnp.asarray(gx))[0])

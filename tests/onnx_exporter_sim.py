@@ -139,16 +139,19 @@ def model(
     inputs: list[bytes],
     outputs: list[bytes],
     opset: int = 13,
+    producer: str = "pytorch",
+    producer_version: str = "2.13",
+    graph_name: str = "torch_jit",
 ) -> bytes:
     g = b"".join(ln(1, n) for n in nodes)
-    g += s(2, "torch_jit")  # exporter-style graph name
+    g += s(2, graph_name)  # exporter-style graph name
     g += b"".join(ln(5, t) for t in initializers)
     g += s(10, "graph doc")  # GraphProto.doc_string
     g += b"".join(ln(11, i) for i in inputs)
     g += b"".join(ln(12, o) for o in outputs)
     m = vi(1, 7)  # ir_version 7
-    m += s(2, "pytorch")  # producer_name
-    m += s(3, "2.13")  # producer_version
+    m += s(2, producer)  # producer_name
+    m += s(3, producer_version)  # producer_version
     m += s(4, "")  # domain
     m += vi(5, 1)  # model_version
     m += s(6, "model doc")  # doc_string

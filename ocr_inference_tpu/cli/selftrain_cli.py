@@ -54,6 +54,22 @@ def main(argv=None) -> int:
                     help="shallow-fusion LM weight (KenLMConfig.alpha)")
     ap.add_argument("--lm-beta", type=float, default=0.0,
                     help="per-token insertion bonus (KenLMConfig.beta)")
+    ap.add_argument("--eval-text-dist", choices=["uniform", "markov"],
+                    default="uniform",
+                    help="markov = sparse-transition text for eval pages AND "
+                         "the LM corpus (the recognizer stays trained on "
+                         "uniform text), so the LM carries information the "
+                         "recognizer lacks — the distribution-gap eval")
+    ap.add_argument("--eval-degrade", type=float, default=0.0,
+                    help="ink-dropout/speckle level on eval pages (0=clean); "
+                         "~0.5 makes the recognizer uncertain enough for "
+                         "LM fusion to matter")
+    ap.add_argument("--lm-tune", action="store_true",
+                    help="grid-search (alpha, beta) on a labeled calibration "
+                         "sample before the eval; auto-disables fusion if "
+                         "no grid point beats the plain beam")
+    ap.add_argument("--lm-calib-lines", type=int, default=16,
+                    help="calibration strips for --lm-tune")
     ap.add_argument("--weights", default=None,
                     help="reuse trained weights from DIR (recognizer.msgpack"
                          " + lines.msgpack): skip training, eval only")
@@ -237,6 +253,16 @@ def _run_eval(args, out, charset, glyphs, rec_loss, seg_loss,
         patch_size=512,
         classes=["line"],
     )
+    # Text distribution for eval pages + LM corpus. "markov" decouples the
+    # eval text from the recognizer's (uniform) training text: the LM then
+    # carries real information — the setting where shallow fusion must help
+    # (VERDICT r2 item 2; reference KenLM contract BDRC/inference.py:97-106).
+    from ocr_inference_tpu.eval.synthetic import MarkovSampler, degrade_page
+
+    token_sampler = (
+        MarkovSampler(charset) if args.eval_text_dist == "markov" else None
+    )
+
     # n-gram LM over the same synthetic text distribution: proves the
     # KenLM-equivalent rescoring path (ARPA build -> native/Python scorer ->
     # shallow-fusion beams) inside the end-to-end accuracy loop
@@ -247,8 +273,9 @@ def _run_eval(args, out, charset, glyphs, rec_loss, seg_loss,
         from ocr_inference_tpu.eval.synthetic import sample_tokens
 
         lm_rng = np.random.RandomState(args.seed + 77)
+        corpus_sampler = token_sampler or sample_tokens
         corpus = [
-            " ".join(sample_tokens(lm_rng, charset))
+            " ".join(corpus_sampler(lm_rng, charset))
             for _ in range(args.lm_corpus_lines)
         ]
         arpa = build_char_arpa(
@@ -264,6 +291,29 @@ def _run_eval(args, out, charset, glyphs, rec_loss, seg_loss,
     # the trained UNet's width/stem travel in the weight sidecar; the
     # builder reads them back (build_detection_engine)
     pipeline = build_pipeline(ocr_config, line_config, kenlm_config=kenlm_cfg)
+
+    # --lm-tune: grid-search fusion weights on labeled calibration strips
+    # (never the eval pages), auto-disabling fusion when it cannot win —
+    # the eval below then exercises the guarded, tuned path end to end.
+    lm_report = None
+    if args.lm_tune and kenlm_cfg is not None:
+        from ocr_inference_tpu.eval.synthetic import (
+            extraction_matched_strip, sample_tokens, tokens_to_text,
+        )
+
+        calib_rng = np.random.RandomState(args.seed + 31_337)
+        strips, calib_refs = [], []
+        for _ in range(args.lm_calib_lines):
+            toks = (token_sampler or sample_tokens)(calib_rng, charset)
+            strip, toks = extraction_matched_strip(
+                calib_rng, glyphs, charset, tokens=toks
+            )
+            strips.append(degrade_page(strip, calib_rng, args.eval_degrade))
+            calib_refs.append(tokens_to_text(toks))
+        t_cal = time.perf_counter()
+        lm_report = pipeline.ocr_inference.calibrate_lm(strips, calib_refs)
+        log(f"[lm] calibration ({time.perf_counter() - t_cal:.1f}s): "
+            f"{ {k: v for k, v in lm_report.items() if k != 'grid'} }")
 
     from ocr_inference_tpu.pipeline.ocr_pipeline import PipelineObserver
 
@@ -288,10 +338,13 @@ def _run_eval(args, out, charset, glyphs, rec_loss, seg_loss,
     failed_pages = 0
     t0 = time.perf_counter()
     for p in range(args.eval_pages):
-        page = render_page(eval_rng, glyphs, charset)
+        page = render_page(
+            eval_rng, glyphs, charset, token_sampler=token_sampler
+        )
+        page_img = degrade_page(page.image, eval_rng, args.eval_degrade)
         capture = StripCapture()
         status, payload = pipeline.run_ocr(
-            page.image, target_encoding=Encoding.WYLIE, observer=capture
+            page_img, target_encoding=Encoding.WYLIE, observer=capture
         )
         ref_text = " ".join(page.texts)
         if status != OpStatus.SUCCESS:
@@ -337,12 +390,23 @@ def _run_eval(args, out, charset, glyphs, rec_loss, seg_loss,
         "charset_size": len(charset),
         "backend": jax.default_backend(),
     }
+    if args.eval_text_dist != "uniform":
+        result["eval_text_dist"] = args.eval_text_dist
+    if args.eval_degrade:
+        result["eval_degrade"] = args.eval_degrade
     if kenlm_cfg is not None:
+        dec_lm = pipeline.ocr_inference.ctc_decoder_lm
         result["cer_beam"] = round(cer(preds_beam, refs), 5)
         result["cer_beam_lm"] = round(cer(preds_beam_lm, refs), 5)
         result["lm_order"] = args.lm_order
-        result["lm_alpha"] = args.lm_alpha
-        result["lm_beta"] = args.lm_beta
+        # post-calibration values when --lm-tune ran
+        result["lm_alpha"] = dec_lm.lm_alpha if dec_lm else args.lm_alpha
+        result["lm_beta"] = dec_lm.lm_beta if dec_lm else args.lm_beta
+        result["lm_fusion_enabled"] = (
+            pipeline.ocr_inference.lm_fusion_enabled
+        )
+        if lm_report is not None:
+            result["lm_calibration"] = lm_report
     json_path = Path(args.json) if args.json else out / "EVAL.json"
     json_path.write_text(json.dumps(result) + "\n")
     print(json.dumps(result))

@@ -104,6 +104,89 @@ def tokens_to_text(tokens: list[str]) -> str:
     return "".join(tokens).replace("§", " ").strip()
 
 
+class MarkovSampler:
+    """Token sampler with real n-gram structure (a sparse first-order chain).
+
+    The uniform ``sample_tokens`` distribution gives a character LM nothing
+    to model beyond syllable length, so shallow fusion can only add noise
+    there (EVAL_r02: beam 0.892% -> beam+LM 1.033%). Real Tibetan has strong
+    syllable-internal transition structure the reference's KenLM exploits
+    (reference: BDRC/inference.py:97-106). This sampler is the synthetic
+    equivalent: each token allows only ``fanout`` successors (fixed per
+    seed), so an n-gram LM trained on its output carries genuine information
+    the recognizer (trained on UNIFORM text) does not have — the
+    distribution-gap eval where fusion must help if implemented correctly.
+    """
+
+    def __init__(self, charset: tuple[str, ...] = WYLIE_CHARSET,
+                 fanout: int = 4, seed: int = 1234):
+        self.charset = charset
+        units = [t for t in charset if t != "§"]
+        self.units = units
+        rng = np.random.RandomState(seed)
+        # per-token successor lists + skewed weights (first successor ~50%)
+        self.successors = {}
+        w = np.array([2.0 ** -i for i in range(fanout)])
+        self.weights = w / w.sum()
+        for tok in ["<s>"] + units:
+            idx = rng.permutation(len(units))[:fanout]
+            self.successors[tok] = [units[i] for i in idx]
+
+    def __call__(
+        self,
+        rng: np.random.RandomState,
+        charset: tuple[str, ...] | None = None,
+        n_syllables: tuple[int, int] = (4, 10),
+        syllable_len: tuple[int, int] = (1, 4),
+    ) -> list[str]:
+        out: list[str] = []
+        prev = "<s>"
+        for s in range(int(rng.randint(*n_syllables))):
+            if s:
+                out.append("§")
+            for _ in range(
+                int(rng.randint(syllable_len[0], syllable_len[1] + 1))
+            ):
+                succ = self.successors[prev]
+                prev = succ[int(rng.choice(len(succ), p=self.weights))]
+                out.append(prev)
+        return out
+
+
+def degrade_page(
+    image: np.ndarray, rng: np.random.RandomState, level: float
+) -> np.ndarray:
+    """Controlled image degradation for the LM-fusion eval: ink dropout
+    (holes punched into glyph strokes) plus paper-colored speckle. At
+    level ~0.4-0.6 the recognizer (trained on clean strips) starts making
+    confusable-glyph errors — exactly the regime where a language model
+    should earn its keep. level=0 is the identity."""
+    if level <= 0:
+        return image
+    img = image.copy()
+    h, w = img.shape[:2]
+    gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+    ink = gray < 128
+    # dropout: erase random small patches of ink back to paper
+    ys, xs = np.nonzero(ink)
+    if len(ys):
+        n_holes = int(len(ys) * level / 60)
+        sel = rng.randint(0, len(ys), size=n_holes)
+        r = 2 + int(level * 3)
+        paper = np.full(3, 235, np.uint8)
+        for i in sel:
+            y, x = int(ys[i]), int(xs[i])
+            cv2.circle(img, (x, y), int(rng.randint(1, r + 1)),
+                       paper.tolist(), -1)
+    # speckle: dark dots on paper that survive binarization
+    n_specks = int(h * w * level / 4000)
+    for _ in range(n_specks):
+        y = int(rng.randint(0, h - 2))
+        x = int(rng.randint(0, w - 2))
+        img[y : y + 2, x : x + 2] = int(rng.randint(20, 70))
+    return img
+
+
 def render_line_strip(
     tokens: list[str],
     glyphs: GlyphSet,
@@ -146,6 +229,7 @@ def render_page(
     n_syllables: tuple[int, int] = (4, 10),
     syllable_len: tuple[int, int] = (1, 4),
     align: str = "random",
+    token_sampler=None,
 ) -> SyntheticPage:
     """A pecha-like page: stacked text lines, light paper, dark ink, plus
     the exact line mask (the segmentation ground truth) and transcripts.
@@ -164,9 +248,10 @@ def render_page(
     texts: list[str] = []
     token_lines: list[list[str]] = []
 
+    sampler = token_sampler or sample_tokens
     max_w = page_w - 2 * margin
     for i in range(n):
-        tokens = sample_tokens(rng, charset, n_syllables, syllable_len)
+        tokens = sampler(rng, charset, n_syllables, syllable_len)
         strip_rgb = render_line_strip(tokens, glyphs, rng)
         # trim token list until the strip fits the text area
         while strip_rgb.shape[1] > max_w and len(tokens) > 2:

@@ -23,6 +23,7 @@ TPU-first rework of the reference's ONNX session wrappers
 from __future__ import annotations
 
 import os
+import sys
 from collections import OrderedDict
 from typing import Optional, Sequence
 
@@ -562,7 +563,15 @@ class RecognitionEngine:
             if kenlm_config is not None
             else None
         )
+        # Shallow fusion ships guarded: calibrate_lm() can clear this when a
+        # labeled sample shows the LM hurting (EVAL_r02 measured 0.892% ->
+        # 1.033% with the untuned alpha=0.5) — the liability mode is then
+        # unreachable through run_batch_beams(use_lm=True).
+        self.lm_fusion_enabled = True
         self._fwd_cache = _ShapeLRU(capacity=32)
+        # (bucket_width, real_lines, padded_batch) -> count; filled by
+        # _batch_iter so volume runs can report real device occupancy
+        self.occupancy: dict[tuple[int, int, int], int] = {}
 
     # buckets never exceed the model's trained input width
     def _buckets(self) -> tuple[int, ...]:
@@ -667,6 +676,8 @@ class RecognitionEngine:
                     arr[i] = canvas
                 if self.pack_input:
                     arr = packing.pack_bits_host(arr)
+                key = (width, len(chunk), b)
+                self.occupancy[key] = self.occupancy.get(key, 0) + 1
                 yield width, b, [idx for idx, _ in chunk], arr
 
     # -- public API --
@@ -708,6 +719,7 @@ class RecognitionEngine:
         """Eval mode: per-line beam hypotheses (reference run_beam_code,
         inference.py:400-414). Forward is batched on device; beam search
         runs on host over the returned logits."""
+        use_lm = use_lm and self.lm_fusion_enabled
         prepared = [
             (i, self._prepare_host(img, pre_pad))
             for i, img in enumerate(line_images)
@@ -730,6 +742,89 @@ class RecognitionEngine:
             for row, idx in enumerate(idxs):
                 beams_by_idx[idx] = batch_beams[row]
         return [beams_by_idx.get(i, []) for i in range(len(line_images))]
+
+    def calibrate_lm(
+        self,
+        line_images: Sequence[np.ndarray],
+        refs: Sequence[str],
+        alphas: Sequence[float] = (0.2, 0.4, 0.7, 1.0),
+        betas: Sequence[float] = (-0.5, 0.0, 0.5),
+        pre_pad: bool = False,
+    ) -> dict:
+        """Tune shallow-fusion (alpha, beta) on labeled strips; auto-disable
+        fusion when no grid point beats the plain beam.
+
+        The reference wires KenLM into pyctcdecode with fixed weights and no
+        validation (reference: BDRC/inference.py:97-106); an untuned LM made
+        CER strictly worse on every recorded eval (EVAL_r02: 0.892% ->
+        1.033%). This guard makes that liability unreachable: the forward
+        runs ONCE (logits cached per strip), each (alpha, beta) re-decodes,
+        and the winner must beat the no-LM beam CER or ``lm_fusion_enabled``
+        clears, turning every later ``use_lm=True`` call into a plain beam.
+        ``refs`` use the pipeline text convention ("§" already a space)."""
+        from ocr_inference_tpu.eval.cer import cer
+
+        dec = self.ctc_decoder_lm
+        if dec is None or not dec.has_lm:
+            self.lm_fusion_enabled = False
+            return {"enabled": False, "reason": "no LM loaded"}
+        prepared = [
+            (i, self._prepare_host(img, pre_pad))
+            for i, img in enumerate(line_images)
+            if img.shape[0] > 0 and img.shape[1] > 0
+        ]
+        logits_by_idx: dict[int, np.ndarray] = {}
+        for width, b, idxs, arr in self._batch_iter(prepared):
+            fn = self._forward_fn(b, width, want_logits=True)
+            logits = np.asarray(fn(self.variables, arr))
+            for row, idx in enumerate(idxs):
+                logits_by_idx[idx] = logits[row]
+        order = sorted(logits_by_idx)
+        kept_refs = [refs[i] for i in order]
+
+        def decode_all(use_lm: bool) -> list[str]:
+            texts = []
+            for i in order:
+                beams = dec.ctc_beam_decode(
+                    logits_by_idx[i], use_lm=use_lm, top_k=1
+                )
+                texts.append(
+                    beams[0].text.strip().replace("§", " ") if beams else ""
+                )
+            return texts
+
+        base = cer(decode_all(False), kept_refs)
+        best_a = best_b = None
+        best = base
+        grid = []
+        for a in alphas:
+            for b_ in betas:
+                dec.lm_alpha, dec.lm_beta = a, b_
+                c = cer(decode_all(True), kept_refs)
+                grid.append([a, b_, round(c, 5)])
+                if c < best:
+                    best_a, best_b, best = a, b_, c
+        report = {
+            "cer_beam": round(base, 5),
+            "grid": grid,
+            "lines": len(order),
+        }
+        if best_a is None:
+            self.lm_fusion_enabled = False
+            print(
+                "LM fusion auto-disabled: no (alpha, beta) beat the plain "
+                f"beam (CER {base:.4f}) on the calibration sample",
+                file=sys.stderr,
+            )
+            report.update(enabled=False)
+        else:
+            self.lm_fusion_enabled = True
+            dec.lm_alpha, dec.lm_beta = best_a, best_b
+            report.update(
+                enabled=True, alpha=best_a, beta=best_b,
+                cer_beam_lm=round(best, 5),
+            )
+        return report
 
     def run(self, line_image: np.ndarray, pre_pad: bool = False,
             use_lm: bool = False) -> str:

@@ -28,14 +28,30 @@ MODEL_AXIS = "model"
 
 def distributed_init() -> None:
     """Multi-host init (jax.distributed), no-op when single-host or already
-    initialized. Controlled by the standard JAX cluster env vars."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+    initialized. Controlled by the standard JAX cluster env vars:
+    ``JAX_COORDINATOR_ADDRESS`` (host:port) plus — outside the managed
+    launchers jax auto-detects (SLURM/TPU pods) — ``JAX_NUM_PROCESSES`` and
+    ``JAX_PROCESS_ID``. Exercised cross-process by
+    tests/test_distributed_dcn.py (two localhost processes, CPU devices),
+    the SURVEY §5.8 multi-host path a single-host sandbox can reach."""
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
         "COORDINATOR_ADDRESS"
-    ):
-        try:
-            jax.distributed.initialize()
-        except RuntimeError:
-            pass  # already initialized
+    )
+    if not addr:
+        return
+    kwargs = {}
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if nproc is not None and pid is not None:
+        kwargs = dict(
+            coordinator_address=addr,
+            num_processes=int(nproc),
+            process_id=int(pid),
+        )
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError:
+        pass  # already initialized
 
 
 def make_mesh(

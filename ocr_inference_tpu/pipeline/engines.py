@@ -97,6 +97,7 @@ class SegmentationEngine:
         use_pallas: Optional[bool] = None,
         pack_input: Optional[bool] = None,
         fused_page: Optional[bool] = None,
+        open_width_frac: float = 0.0,
     ):
         self.model = model
         self.variables = variables
@@ -105,6 +106,18 @@ class SegmentationEngine:
         self.tile_chunk = tile_chunk
         self.classes = classes or ["line"]
         self.mesh = mesh
+        # Horizontal binary opening on the thresholded line mask (fraction
+        # of page width; 0 disables). Deliberate divergence from the
+        # reference's raw-threshold mask: the space-to-depth UNet leaves
+        # narrow tile-edge artifacts (measured w<=15 px columns at x>=1009
+        # on 1024-wide eval pages) that pass the reference's 1%-width
+        # contour filter (line_detection.py:247-264) and then corrupt row
+        # grouping (two real lines merged through a between-rows blob ->
+        # empty recognition). Erasing components narrower than ~2% of the
+        # page width on device — two fused 1-D reduce_windows, ~free — is
+        # gated by the end-to-end CER loop (bocr-selftrain), enabled by the
+        # builder only for stem_stride>1 detectors.
+        self.open_width_frac = open_width_frac
         self.use_pallas = (
             pallas_kernels.pallas_enabled() if use_pallas is None else use_pallas
         )
@@ -231,6 +244,24 @@ class SegmentationEngine:
             )
         return packing.pack_bits_host(bw)
 
+    @staticmethod
+    def _open_horizontal(mask: jnp.ndarray, k: int) -> jnp.ndarray:
+        """Binary opening with a 1 x k structuring element (erode+dilate as
+        two fused 1-D reduce_windows): erases components narrower than k
+        while leaving wider ones bit-identical. Zero padding on the erosion
+        so page-edge blobs (where the stem2 artifacts live) are erased too."""
+        x = mask.astype(jnp.float32)
+        lo, hi = k // 2, k - 1 - k // 2
+        xp = jnp.pad(x, ((0, 0), (lo, hi)))
+        er = -jax.lax.reduce_window(
+            -xp, -jnp.inf, jax.lax.max, (1, k), (1, 1), "VALID"
+        )
+        dp = jnp.pad(er, ((0, 0), (hi, lo)))
+        di = jax.lax.reduce_window(
+            dp, -jnp.inf, jax.lax.max, (1, k), (1, 1), "VALID"
+        )
+        return di > 0.5
+
     def _post_body(self, logits_tiles, plan: tiling.PagePlan,
                    threshold: float):
         """Traceable post chain: logits tiles -> bit-packed page mask."""
@@ -243,7 +274,11 @@ class SegmentationEngine:
             out = imaging.resize_bilinear(merged, plan.orig_h, plan.orig_w)
             # reference truncates (astype uint8) before *255
             # (inference.py:178-181): >= 1.0 survives
-            return packing.pack_mask(out >= 1.0)
+            m = out >= 1.0
+            if self.open_width_frac > 0:
+                k = max(int(plan.orig_w * self.open_width_frac) | 1, 3)
+                m = self._open_horizontal(m, k)
+            return packing.pack_mask(m)
         pred = jax.nn.softmax(logits_tiles, axis=-1)
         pred = jnp.where(pred > threshold, 1.0, 0.0)
         merged = tiling.stitch_tiles(pred, plan.y_steps)
@@ -254,7 +289,7 @@ class SegmentationEngine:
 
     def _post_fn(self, plan: tiling.PagePlan, threshold: float, n_classes: int):
         key = (plan.orig_h, plan.orig_w, plan.padded_h, plan.padded_w,
-               threshold, n_classes, self.mode)
+               threshold, n_classes, self.mode, self.open_width_frac)
 
         def build():
             def fn(logits_tiles):
@@ -279,7 +314,8 @@ class SegmentationEngine:
         Only built when the page fits one forward chunk
         (plan.n_tiles <= tile_chunk); bigger pages take the staged path."""
         key = ("fused", plan.orig_h, plan.orig_w, plan.padded_h,
-               plan.padded_w, threshold, gray_input, self.mode)
+               plan.padded_w, threshold, gray_input, self.mode,
+               self.open_width_frac)
 
         def build():
             def fn(variables, img):

@@ -50,6 +50,9 @@ def test_unet_stem_stride_roundtrips_through_builder(tmp_path):
     engine = build_detection_engine(cfg)
     assert engine.model.width == 8
     assert engine.model.stem_stride == 2
+    # stem2 detectors get the narrow-component opening (tile-edge artifact
+    # cleanup, see SegmentationEngine.open_width_frac); stride-1 must not
+    assert engine.open_width_frac == 0.02
 
 
 def test_deeplab_shapes():

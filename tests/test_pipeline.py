@@ -134,6 +134,77 @@ def test_full_pipeline_layout_mode(engines):
     assert len(ocr_lines) == 3
 
 
+def test_open_horizontal_matches_naive_opening():
+    """_open_horizontal (two fused 1-D reduce_windows) must equal a naive
+    zero-padded binary opening with a 1 x k structuring element: components
+    narrower than k erased, wider ones bit-identical."""
+    from ocr_inference_tpu.pipeline.engines import SegmentationEngine
+
+    def naive_open(mask: np.ndarray, k: int) -> np.ndarray:
+        h, w = mask.shape
+        lo, hi = k // 2, k - 1 - k // 2
+        padded = np.zeros((h, w + k - 1), bool)
+        padded[:, lo : lo + w] = mask
+        er = np.ones((h, w), bool)
+        for off in range(k):
+            er &= padded[:, off : off + w]
+        erp = np.zeros((h, w + k - 1), bool)
+        erp[:, hi : hi + w] = er
+        di = np.zeros((h, w), bool)
+        for off in range(k):
+            di |= erp[:, off : off + w]
+        return di
+
+    rng = np.random.default_rng(7)
+    for k in (3, 9, 21):
+        mask = rng.random((16, 160)) > 0.45
+        got = np.asarray(
+            SegmentationEngine._open_horizontal(jnp.asarray(mask), k)
+        )
+        assert (got == naive_open(mask, k)).all(), k
+
+    # semantic check: a run of exactly k survives bit-identical, k-1 is
+    # erased — including runs touching the page edge (zero padding)
+    k = 11
+    mask = np.zeros((3, 120), bool)
+    mask[0, 20 : 20 + k] = True          # width k: survives
+    mask[1, 50 : 50 + k - 1] = True      # width k-1: erased
+    mask[2, 120 - (k - 1):] = True       # narrow at right edge: erased
+    got = np.asarray(SegmentationEngine._open_horizontal(jnp.asarray(mask), k))
+    assert (got[0] == mask[0]).all()
+    assert not got[1].any()
+    assert not got[2].any()
+
+
+def test_open_width_frac_erases_narrow_mask_blobs(engines):
+    """With open_width_frac set, narrow satellite blobs (the stem2 tile-edge
+    artifact geometry: w<=15 px on a ~1000-px page) vanish from the
+    predicted mask while real text bands survive untouched."""
+    det, _ = engines
+    img = _page(n_lines=3)
+    # paint a narrow dark sliver between rows — the density detector marks
+    # it (smeared to ~sliver+16 px by the 41-wide window), like the stem2
+    # artifacts do; frac 0.05 on the 1200-px page erases runs < 61 px
+    # (mechanism test — the production frac 0.02 is pinned in test_models)
+    img[180:260, 780:798] = 0
+    det.open_width_frac = 0.0
+    base = det.predict(img)
+    det.open_width_frac = 0.05
+    try:
+        opened = det.predict(img)
+    finally:
+        det.open_width_frac = 0.0
+    assert base[220, 789] == 255          # sliver detected without opening
+    assert opened[220, 789] == 0          # ...and erased by it
+    # everything outside the sliver's smear — the 3 real bands included —
+    # is preserved bit-identically (runs >= k survive opening exactly)
+    assert (opened[:, :740] == base[:, :740]).all()
+    assert (opened[:, 840:] == base[:, 840:]).all()
+    # strictly between band 1 (y 150-178) and band 2 (y 300-328), below
+    # band 1's vertical detection smear: only the sliver lived here
+    assert not opened[200:290, 740:840].any()
+
+
 def test_detection_packed_input_parity(engines):
     """The packed-bits upload path (host cv2 binarize + bit-packed H2D) must
     produce the exact mask of the on-device binarize path."""

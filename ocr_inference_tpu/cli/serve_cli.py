@@ -52,9 +52,15 @@ class _LineReader:
     stdin has no usable fileno (tests with StringIO, some pipes).
     """
 
-    def __init__(self):
+    def __init__(self, fd: int | None = None):
+        """``fd`` overrides stdin — the serve benchmark (bench.py config 6)
+        drives the real loop through an os.pipe with Poisson-timed request
+        arrivals, exercising the same select()-based drain as production."""
         self._buf = b""
         self._eof = False
+        if fd is not None:
+            self._fd = fd
+            return
         try:
             self._fd = sys.stdin.fileno()
         except (OSError, ValueError, AttributeError):
@@ -114,6 +120,63 @@ class _LineReader:
                 return lines, True
             lines.append(line)
         return lines, self._eof and not self._buf
+
+
+def _parse_request(raw: str, emit_error):
+    """One request line -> list of paths, or None after emitting the
+    error response."""
+    try:
+        req = json.loads(raw)
+    except json.JSONDecodeError as e:
+        emit_error({"status": "failed", "error": f"bad request: {e}"})
+        return None
+    if not isinstance(req, dict):
+        emit_error({"status": "failed",
+                    "error": "request must be a JSON object"})
+        return None
+    many = req.get("images")
+    paths = many if isinstance(many, list) else [req.get("image")]
+    paths = [p for p in paths if isinstance(p, str) and p]
+    if not paths:
+        emit_error({"status": "failed",
+                    "error": "no 'image' (string) or 'images' "
+                             "(list of strings) in request"})
+    return paths or None
+
+
+def serve_loop(runner, reader: _LineReader, load, emit, emit_error, *,
+               encoding, use_tps: bool = False, k_factor: float = 2.5,
+               bbox_tolerance: float = 4.0) -> None:
+    """The serving loop proper: each iteration serves one burst — the
+    blocking read plus whatever is already queued (dynamic batching); a
+    single-image request with an idle stream answers immediately, a burst
+    flows through the batched volume path. Engines + jit caches stay warm
+    across requests. A blank line or EOF — including one arriving
+    mid-drain — ends the session after its batch is served.
+
+    Factored out of main() so the serve benchmark (bench.py config 6) can
+    drive the identical loop over an os.pipe request stream."""
+    session_end = False
+    while not session_end:
+        raw = reader.next_line()
+        if not raw:
+            break
+        extra, session_end = reader.drain_ready()
+        batch_paths: list[str] = []
+        for line in [raw, *extra]:
+            paths = _parse_request(line, emit_error)
+            if paths:
+                batch_paths.extend(paths)
+        if not batch_paths:
+            continue
+        runner.run(
+            [(p, load(p)) for p in batch_paths],
+            target_encoding=encoding,
+            use_tps=use_tps,
+            k_factor=k_factor,
+            bbox_tolerance=bbox_tolerance,
+            on_page_done=emit,
+        )
 
 
 def _record_to_json(rec) -> dict:
@@ -188,57 +251,16 @@ def main(argv=None) -> int:
 
         return _load
 
-    def parse_request(raw: str):
-        """One request line -> list of paths, or None after emitting the
-        error response."""
-        try:
-            req = json.loads(raw)
-        except json.JSONDecodeError as e:
-            print(json.dumps({"status": "failed",
-                              "error": f"bad request: {e}"}), flush=True)
-            return None
-        if not isinstance(req, dict):
-            print(json.dumps({"status": "failed",
-                              "error": "request must be a JSON object"}),
-                  flush=True)
-            return None
-        many = req.get("images")
-        paths = many if isinstance(many, list) else [req.get("image")]
-        paths = [p for p in paths if isinstance(p, str) and p]
-        if not paths:
-            print(json.dumps({"status": "failed",
-                              "error": "no 'image' (string) or 'images' "
-                                       "(list of strings) in request"}),
-                  flush=True)
-        return paths or None
+    def emit_error(obj: dict):
+        print(json.dumps(obj), flush=True)
 
-    # each iteration serves one burst: the blocking read plus whatever is
-    # already queued; a single-image request with an idle stream answers
-    # immediately, a burst flows through the batched volume path. Engines +
-    # jit caches stay warm across requests. A blank line or EOF — including
-    # one arriving mid-drain — ends the session after its batch is served.
-    reader = _LineReader()
-    session_end = False
-    while not session_end:
-        raw = reader.next_line()
-        if not raw:
-            break
-        extra, session_end = reader.drain_ready()
-        batch_paths: list[str] = []
-        for line in [raw, *extra]:
-            paths = parse_request(line)
-            if paths:
-                batch_paths.extend(paths)
-        if not batch_paths:
-            continue
-        runner.run(
-            [(p, load(p)) for p in batch_paths],
-            target_encoding=encoding,
-            use_tps=args.dewarp,
-            k_factor=args.k_factor,
-            bbox_tolerance=args.bbox_tolerance,
-            on_page_done=emit,
-        )
+    serve_loop(
+        runner, _LineReader(), load, emit, emit_error,
+        encoding=encoding,
+        use_tps=args.dewarp,
+        k_factor=args.k_factor,
+        bbox_tolerance=args.bbox_tolerance,
+    )
     return 0
 
 

@@ -23,6 +23,50 @@ def _model_dir(tmp_path):
     return d
 
 
+def test_serve_loop_dynamic_batching_over_pipe():
+    """serve_loop + _LineReader(fd=...) over a real os.pipe (the config-6
+    bench harness, bench.py run_serve_bench): queued requests drain into ONE
+    burst, each page emits exactly once, EOF ends the session."""
+    import os
+
+    from ocr_inference_tpu.cli.serve_cli import _LineReader, serve_loop
+
+    bursts, emitted = [], []
+
+    class StubRecord:
+        def __init__(self, name):
+            self.name = name
+
+    class StubRunner:
+        def run(self, images, on_page_done=None, **kw):
+            images = list(images)
+            bursts.append(len(images))
+            recs = [StubRecord(name) for name, _ in images]
+            for r in recs:
+                on_page_done(r)
+            return recs
+
+    r_fd, w_fd = os.pipe()
+    # one request, then a queued burst of 3, then EOF
+    os.write(w_fd, json.dumps({"image": "a.png"}).encode() + b"\n")
+    for p in ("b.png", "c.png", "d.png"):
+        os.write(w_fd, json.dumps({"image": p}).encode() + b"\n")
+    os.close(w_fd)
+
+    serve_loop(
+        StubRunner(), _LineReader(fd=r_fd), lambda p: (lambda: None),
+        emitted.append, lambda obj: (_ for _ in ()).throw(AssertionError(obj)),
+        encoding=None,
+    )
+    os.close(r_fd)
+    # the blocking read grabs a.png; the zero-timeout drain batches the
+    # already-queued b/c/d into the same burst (all 4 were queued before the
+    # loop started, so one burst of 4 is also the correct outcome)
+    assert sum(bursts) == 4
+    assert len(bursts) <= 2
+    assert [r.name for r in emitted] == ["a.png", "b.png", "c.png", "d.png"]
+
+
 def test_serve_jsonl_protocol(tmp_path, monkeypatch, capsys):
     model_dir = _model_dir(tmp_path)
     page = tmp_path / "page.png"

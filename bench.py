@@ -106,12 +106,15 @@ def build(det_chunk: int | None = None, per_line: bool = False, mesh=None):
 
     class BenchLineModel(nn.Module):
         """Full UNet compute (cost realism) + a deterministic dark-band
-        detector (functional masks despite random weights). bf16 like the
-        production builder default (pipeline/builder.py)."""
+        detector (functional masks despite random weights). bf16 +
+        space-to-depth stem like the production builder default
+        (pipeline/builder.py; the stem2 variant became the flagship after
+        EVAL_r03 put it at CER 0.70% vs stride-1's 0.89%)."""
 
         @nn.compact
         def __call__(self, x, train: bool = False):
-            unet_logits = UNet(classes=1, dtype=jnp.bfloat16)(x, train)
+            unet_logits = UNet(classes=1, stem_stride=2,
+                               dtype=jnp.bfloat16)(x, train)
             dark = 1.0 - jnp.mean(x, axis=-1, keepdims=True)
             # separable box filter == the 9x41 window (zero-pad SAME keeps
             # the identity); the fused 369-tap reduce_window costs ~70ms of
@@ -122,8 +125,11 @@ def build(det_chunk: int | None = None, per_line: bool = False, mesh=None):
 
     det_model = BenchLineModel()
     det_vars = init_segmentation(det_model)
+    # open_width_frac matches the production stem2 flagship (builder.py);
+    # two fused 1-D reduce_windows, so the cost realism is exact
     det = SegmentationEngine(det_model, det_vars, mode="line",
-                             tile_chunk=det_chunk, mesh=mesh)
+                             tile_chunk=det_chunk, mesh=mesh,
+                             open_width_frac=0.02)
 
     charset = list("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ'" )
     cfg = OCRModelConfig(
@@ -145,11 +151,44 @@ def build(det_chunk: int | None = None, per_line: bool = False, mesh=None):
     return OCRPipeline(rec, det)
 
 
-def run_volume(pipeline, pages, per_line: bool = False, use_tps: bool = False):
-    """Returns (pages/sec, lines/sec, stage_ms) over the volume (excluding
-    warmup). stage_ms attributes the per-page wall time to
-    detect / geometry / recognize (recognition overlaps the next window's
-    detection, so the stage sums may exceed the wall clock).
+def _rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return round(int(line.split()[1]) / 1024, 1)
+    return 0.0
+
+
+def _jit_cache_sizes(pipeline) -> dict:
+    """Live compiled-program counts in the engines' shape LRUs — the growth
+    metric a 500-page soak must keep flat (BASELINE config 4 spec)."""
+    det, rec = pipeline.line_inference, pipeline.ocr_inference
+    return {
+        "det_pre": len(det._pre_cache._d),
+        "det_post": len(det._post_cache._d),
+        "rec_fwd": len(rec._fwd_cache._d),
+    }
+
+
+def _percentile(sorted_vals: list[float], q: float) -> float:
+    if not sorted_vals:
+        return 0.0
+    i = min(int(q * (len(sorted_vals) - 1) + 0.5), len(sorted_vals) - 1)
+    return sorted_vals[i]
+
+
+def run_volume(pipeline, pages, per_line: bool = False, use_tps: bool = False,
+               geometry_workers=None, window_pages: int = 8,
+               timed_runs: int = 2):
+    """Returns (pages/sec, lines/sec, stage_ms, telemetry) over the volume
+    (excluding warmup). pages/sec is the MEDIAN of per-window throughputs
+    pooled across ``timed_runs`` passes (VERDICT r2 weak #5: best-of-2 rode
+    the tunnel's optimistic phase; the median of many windows is the
+    steady-state number, with p10/p90 disclosing the spread). stage_ms
+    attributes the per-page wall time to detect / geometry / recognize
+    (recognition overlaps the next window's detection, so the stage sums may
+    exceed the wall clock). telemetry carries the timing distribution,
+    recognizer batch-occupancy histogram, RSS and jit-cache growth.
 
     The TPU path goes through VolumeRunner (cross-page line batching,
     bounded prefetch, detect/recognize overlap); the reference-style
@@ -173,15 +212,17 @@ def run_volume(pipeline, pages, per_line: bool = False, use_tps: bool = False):
             assert status == OpStatus.SUCCESS, res
             n_lines += len(res[2])
         elapsed = time.perf_counter() - start
-        return len(pages) / elapsed, n_lines / elapsed, {}
+        return len(pages) / elapsed, n_lines / elapsed, {}, {}
 
     from ocr_inference_tpu.pipeline import VolumeRunner
 
-    runner = VolumeRunner(pipeline, window_pages=8)
-    # warm the runner path over the FULL volume once: the timed region must
-    # measure steady state, not the first-process compiles of every
-    # (bucket, batch) shape the windows produce
-    runner.run([(f"w{i}", p) for i, p in enumerate(pages)], use_tps=use_tps)
+    runner = VolumeRunner(pipeline, window_pages=window_pages,
+                          geometry_workers=geometry_workers)
+    # warm the runner path once over a prefix that covers the (bucket,
+    # batch) shapes the windows produce; the timed region must measure
+    # steady state, not first-process compiles
+    warm = pages[: min(len(pages), 24)]
+    runner.run([(f"w{i}", p) for i, p in enumerate(warm)], use_tps=use_tps)
 
     import contextlib
 
@@ -192,18 +233,30 @@ def run_volume(pipeline, pages, per_line: bool = False, use_tps: bool = False):
         if profile_dir
         else contextlib.nullcontext()
     )
-    # the device tunnel's latency jitters minute to minute (identical
-    # configs measure 2.9-4.5 pages/s); time two passes and keep the best
-    # as the steady-state number (disclosed via "timed_runs" in the output)
-    elapsed = float("inf")
+    rss_start = _rss_mb()
+    jit_start = _jit_cache_sizes(pipeline)
+    pipeline.ocr_inference.occupancy.clear()
+
+    window_tputs: list[float] = []
+    total_elapsed = 0.0
+    results = []
     with trace:
-        for _ in range(2):
+        for _ in range(timed_runs):
+            done_ts: list[float] = []
             start = time.perf_counter()
             results = runner.run(
-                [(f"p{i}", p) for i, p in enumerate(pages)], use_tps=use_tps
+                [(f"p{i}", p) for i, p in enumerate(pages)], use_tps=use_tps,
+                on_page_done=lambda r: done_ts.append(time.perf_counter()),
             )
-            run_elapsed = time.perf_counter() - start
-            elapsed = min(elapsed, run_elapsed)
+            total_elapsed += time.perf_counter() - start
+            # per-window throughput: completion timestamps in chunks of
+            # window_pages (windows emit together, so chunk edges align);
+            # volumes smaller than one window get one chunk of len(pages)
+            chunk = min(window_pages, len(done_ts))
+            prev = start
+            for k in range(chunk - 1, len(done_ts), chunk):
+                window_tputs.append(chunk / (done_ts[k] - prev))
+                prev = done_ts[k]
     assert all(r.status == OpStatus.SUCCESS for r in results), [
         r.error for r in results if r.error
     ]
@@ -213,7 +266,31 @@ def run_volume(pipeline, pages, per_line: bool = False, use_tps: bool = False):
         for k, v in r.timings_ms.items():
             stage_ms[k] = stage_ms.get(k, 0.0) + v
     stage_ms = {k: round(v / len(results), 1) for k, v in stage_ms.items()}
-    return len(pages) / elapsed, n_lines / elapsed, stage_ms
+
+    wt = sorted(window_tputs)
+    occupancy = dict(pipeline.ocr_inference.occupancy)
+    real_batches = sorted(
+        b for (_, b, _), c in occupancy.items() for _ in range(c)
+    )
+    telemetry = {
+        "timing": {
+            "median": round(_percentile(wt, 0.5), 3),
+            "p10": round(_percentile(wt, 0.1), 3),
+            "p90": round(_percentile(wt, 0.9), 3),
+            "windows": len(wt),
+            "window_pages": window_pages,
+            "overall": round(timed_runs * len(pages) / total_elapsed, 3),
+        },
+        "occupancy": {
+            f"w{w}:{real}/{padded}": c
+            for (w, real, padded), c in sorted(occupancy.items())
+        },
+        "median_batch": _percentile(real_batches, 0.5),
+        "rss_mb": {"start": rss_start, "end": _rss_mb()},
+        "jit_cache": {"start": jit_start, "end": _jit_cache_sizes(pipeline)},
+    }
+    pps = telemetry["timing"]["median"]
+    return pps, pps * n_lines / len(pages), stage_ms, telemetry
 
 
 def make_curved_volume(n_pages: int) -> list[np.ndarray]:
@@ -256,6 +333,115 @@ def run_single_stream(pipeline, pages) -> tuple[float, float]:
         elapsed = time.perf_counter() - start
         best = max(best, len(pages) / elapsed)
     return best, best * n_lines / len(pages)
+
+
+def run_serve_bench(n_requests: int, rate_rps: float | None = None) -> dict:
+    """BASELINE config-1-serve (VERDICT r2 item 7): bocr-serve's dynamic
+    batching against an open-loop Poisson request stream, reported as
+    throughput + latency percentiles vs config 1's sequential page loop
+    (the reference CLI shape, cli.py:113-139).
+
+    Drives the REAL serve loop (cli/serve_cli.serve_loop + _LineReader's
+    select()-based drain) over an os.pipe: a feeder thread writes one JSONL
+    request per page at exponential inter-arrival times; each page's latency
+    runs from its request's write timestamp to its on_page_done emit. The
+    pipeline/model/pages are identical to config 1, so serve_pages_per_sec
+    is directly comparable to pages_per_sec_single_stream."""
+    import tempfile
+    import threading
+
+    import cv2
+
+    from ocr_inference_tpu.cli.serve_cli import _LineReader, serve_loop
+    from ocr_inference_tpu.core.data import Encoding, OpStatus
+    from ocr_inference_tpu.pipeline import VolumeRunner
+
+    if rate_rps is None:
+        rate_rps = float(os.environ.get("BENCH_SERVE_RPS", "6.0"))
+    pipeline = build()
+    runner = VolumeRunner(pipeline, window_pages=4)
+    pages = make_volume(min(n_requests, N_PAGES))
+
+    with tempfile.TemporaryDirectory() as workdir:
+        paths = []
+        for i in range(n_requests):
+            p = os.path.join(workdir, f"req_{i:04d}.png")
+            if i < len(pages):
+                cv2.imwrite(p, pages[i])
+            else:
+                os.symlink(os.path.join(workdir, f"req_{i % len(pages):04d}.png"), p)
+            paths.append(p)
+
+        def load(path):
+            def _load():
+                img = cv2.imread(path)
+                return None if img is None else cv2.cvtColor(
+                    img, cv2.COLOR_BGR2RGB
+                )
+
+            return _load
+
+        # warm every jit shape the serve bursts will hit (window 4 plus
+        # partial tails) — the timed stream must measure steady state
+        warm = runner.run([(f"warm{i}", load(p)()) for i, p in
+                           enumerate(paths[: min(8, len(paths))])])
+        assert all(r.status == OpStatus.SUCCESS for r in warm)
+
+        arrival: dict[str, float] = {}
+        done: dict[str, float] = {}
+        bursts: list[int] = []
+
+        rng = np.random.default_rng(123)
+        gaps = rng.exponential(1.0 / rate_rps, size=n_requests)
+        r_fd, w_fd = os.pipe()
+
+        def feeder():
+            try:
+                for path, gap in zip(paths, gaps):
+                    time.sleep(gap)
+                    line = (json.dumps({"image": path}) + "\n").encode()
+                    arrival[path] = time.perf_counter()
+                    os.write(w_fd, line)
+            finally:
+                os.close(w_fd)
+
+        def emit(rec):
+            done[rec.name] = time.perf_counter()
+
+        def emit_error(obj):
+            raise AssertionError(f"serve error response: {obj}")
+
+        real_run = runner.run
+
+        def counted_run(images, **kw):
+            images = list(images)
+            bursts.append(len(images))
+            return real_run(images, **kw)
+
+        runner.run = counted_run
+        t = threading.Thread(target=feeder, daemon=True)
+        t.start()
+        serve_loop(runner, _LineReader(fd=r_fd), load, emit, emit_error,
+                   encoding=Encoding.UNICODE)
+        t.join()
+        os.close(r_fd)
+
+    assert len(done) == n_requests, (len(done), n_requests)
+    lats = sorted(done[p] - arrival[p] for p in paths)
+    span = max(done.values()) - min(arrival.values())
+    return {
+        "serve_pages_per_sec": round(n_requests / span, 3),
+        "request_rate_rps": rate_rps,
+        "requests": n_requests,
+        "latency_s": {
+            "p50": round(_percentile(lats, 0.5), 3),
+            "p90": round(_percentile(lats, 0.9), 3),
+            "p99": round(_percentile(lats, 0.99), 3),
+        },
+        "bursts": len(bursts),
+        "mean_burst_pages": round(sum(bursts) / max(len(bursts), 1), 2),
+        "window_pages": 4,
+    }
 
 
 def run_modern_layout(n_pages: int, workdir: str) -> float:
@@ -318,13 +504,15 @@ def _compiled_flops(compiled) -> float:
 
 
 def measure_mfu(det_model, det_vars, rec_model, rec_vars,
-                iters: int = 10) -> dict:
+                iters: int = 10, rec_batch: int = 8) -> dict:
     """Per-stage MFU of the two jitted model forwards (VERDICT r1 item 5).
 
     MFU = XLA-reported model FLOPs / measured steady-state device time /
     chip peak bf16 FLOP/s, on the shapes the volume pipeline actually runs
-    (one page = 24-32 detection tiles; one page's line batch for the
-    recognizer)."""
+    (one page = 24-32 detection tiles; ``rec_batch`` = the MEDIAN real line
+    batch the volume run measured via the occupancy histogram, so the
+    recognizer MFU is quoted at the batch the pipeline actually runs —
+    VERDICT r2 weak #3)."""
     import jax
     import jax.numpy as jnp
 
@@ -348,7 +536,8 @@ def measure_mfu(det_model, det_vars, rec_model, rec_vars,
             lambda v, x: rec_model.apply(v, x, train=False),
             rec_vars,
             jnp.asarray(
-                rng.random((8, 80, 3000), dtype=np.float32) * 2 - 1
+                rng.random((max(rec_batch, 1), 80, 3000), dtype=np.float32)
+                * 2 - 1
             ),
         ),
     }
@@ -414,7 +603,7 @@ def measure_baseline() -> dict:
     with jax.default_device(cpu):
         pipeline = build(det_chunk=8, per_line=True)
         pages = make_volume(3)
-        pps, lps, _ = run_volume(pipeline, pages, per_line=True)
+        pps, lps, _, _ = run_volume(pipeline, pages, per_line=True)
     return {
         "pages_per_sec": pps,
         "lines_per_sec": lps,
@@ -465,9 +654,16 @@ def main(argv=None):
     import argparse
 
     parser = argparse.ArgumentParser()
-    parser.add_argument("--config", type=int, default=4, choices=[1, 2, 3, 4, 5])
-    parser.add_argument("--pages", type=int, default=N_PAGES)
+    parser.add_argument("--config", type=int, default=4,
+                        choices=[1, 2, 3, 4, 5, 6])
+    parser.add_argument("--pages", type=int, default=None,
+                        help="volume size (default: 96 for configs 4/5 — "
+                             "soak scale per BASELINE config 4's ~500-page "
+                             "volume spec — else 12)")
     args = parser.parse_args(argv)
+    if args.pages is None:
+        args.pages = (96 if args.config in (4, 5)
+                      else 48 if args.config == 6 else N_PAGES)
 
     from ocr_inference_tpu.utils import enable_compilation_cache
 
@@ -513,12 +709,21 @@ def main(argv=None):
                       lines_per_sec=round(lps, 1))
     elif args.config == 2:
         pipeline = build()
-        pps, lps, stage_ms = run_volume(
-            pipeline, make_curved_volume(args.pages), use_tps=True
+        # 2 geometry workers even on a 1-core host: the TPS warp + packed
+        # D2H leave the geometry thread sleeping on device work, so a second
+        # worker's curvature/second-pass CPU overlaps it (VERDICT r2 item 8)
+        pps, lps, stage_ms, telemetry = run_volume(
+            pipeline, make_curved_volume(args.pages), use_tps=True,
+            geometry_workers=2,
         )
         result.update(metric="pages_per_sec_dewarped",
                       lines_per_sec=round(lps, 1),
-                      stage_ms_per_page=stage_ms, tps=True)
+                      stage_ms_per_page=stage_ms, tps=True,
+                      timing=telemetry.get("timing"))
+    elif args.config == 6:
+        serve = run_serve_bench(args.pages)
+        result.update(metric="pages_per_sec_serve", **serve)
+        pps = serve["serve_pages_per_sec"]
     elif args.config == 3:
         import tempfile
 
@@ -535,15 +740,21 @@ def main(argv=None):
 
             mesh = make_mesh()
         pipeline = build(mesh=mesh)
-        pps, lps, stage_ms = run_volume(pipeline, make_volume(args.pages))
+        pps, lps, stage_ms, telemetry = run_volume(
+            pipeline, make_volume(args.pages)
+        )
         det_eng, rec_eng = pipeline.line_inference, pipeline.ocr_inference
         result.update(
             metric="pages_per_sec_end_to_end",
             lines_per_sec=round(lps, 1),
             mesh=dict(mesh.shape) if mesh is not None else None,
             stage_ms_per_page=stage_ms,
-            mfu=measure_mfu(det_eng.model, det_eng.variables,
-                            rec_eng.model, rec_eng.variables),
+            **telemetry,
+            mfu=measure_mfu(
+                det_eng.model, det_eng.variables,
+                rec_eng.model, rec_eng.variables,
+                rec_batch=int(telemetry.get("median_batch", 8)),
+            ),
         )
         if pallas_enabled():
             result["pallas_parity"] = pallas_parity_check()

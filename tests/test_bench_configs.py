@@ -41,11 +41,28 @@ def test_config1_single_stream(bench_mod, pipeline):
 
 
 def test_config2_dewarped_volume(bench_mod, pipeline):
-    pps, lps, stage_ms = bench_mod.run_volume(
+    pps, lps, stage_ms, telemetry = bench_mod.run_volume(
         pipeline, bench_mod.make_curved_volume(2), use_tps=True
     )
     assert pps > 0
     assert "detect" in stage_ms
+    t = telemetry["timing"]
+    assert t["median"] == pps and t["p10"] <= t["median"] <= t["p90"]
+    assert telemetry["rss_mb"]["end"] >= telemetry["rss_mb"]["start"] * 0.5
+    assert telemetry["jit_cache"]["end"]["rec_fwd"] >= 1
+    # the occupancy histogram records every real recognizer forward
+    assert sum(telemetry["occupancy"].values()) >= 1
+    assert telemetry["median_batch"] >= 1
+
+
+def test_config6_serve_bench(bench_mod, monkeypatch):
+    monkeypatch.setattr(bench_mod, "N_PAGES", 2)
+    out = bench_mod.run_serve_bench(4, rate_rps=50.0)
+    assert out["serve_pages_per_sec"] > 0
+    assert out["requests"] == 4
+    assert 0 < out["latency_s"]["p50"] <= out["latency_s"]["p99"]
+    assert 1 <= out["bursts"] <= 4
+    assert out["mean_burst_pages"] >= 1
 
 
 def test_config3_modern_layout(bench_mod, tmp_path):

@@ -620,16 +620,29 @@ class RecognitionEngine:
         if img.ndim == 3 and img.shape[2] == 1:
             img = img[..., 0]  # strips cut from grayscale pages
         if img.ndim == 2:
-            img = cv2.cvtColor(img, cv2.COLOR_GRAY2RGB)
-        if pre_pad:
-            img = tiling.pre_pad_line(img)
-        bucket = tiling.bucket_for_width(
-            img.shape[1], img.shape[0], self.config.input_height, self._buckets()
-        )
-        canvas = pad_ocr_line_host(img, bucket, self.config.input_height)
-        # grayscale on host (bit-exact with the device op) so the H2D
-        # transfer is 1 channel instead of 3
-        gray = cv2.cvtColor(canvas, cv2.COLOR_RGB2GRAY)
+            # stay single-channel: cv2's RGB2GRAY fixed-point weights sum to
+            # exactly 32768, so GRAY2RGB -> pad(3ch) -> RGB2GRAY is the
+            # identity chain — pad the gray strip directly and resize/border
+            # 1 channel instead of 3 (byte parity pinned in test_pipeline)
+            if pre_pad:
+                img = tiling.pre_pad_line(img)
+            bucket = tiling.bucket_for_width(
+                img.shape[1], img.shape[0], self.config.input_height,
+                self._buckets(),
+            )
+            gray = pad_ocr_line_host(img, bucket, self.config.input_height)
+            gray = gray[..., 0]
+        else:
+            if pre_pad:
+                img = tiling.pre_pad_line(img)
+            bucket = tiling.bucket_for_width(
+                img.shape[1], img.shape[0], self.config.input_height,
+                self._buckets(),
+            )
+            canvas = pad_ocr_line_host(img, bucket, self.config.input_height)
+            # grayscale on host (bit-exact with the device op) so the H2D
+            # transfer is 1 channel instead of 3
+            gray = cv2.cvtColor(canvas, cv2.COLOR_RGB2GRAY)
         if not self.pack_input:
             return gray
         # host binarize (cv2 itself; binarize-then-gray == gray-then-

@@ -205,6 +205,45 @@ def test_open_width_frac_erases_narrow_mask_blobs(engines):
     assert not opened[200:290, 740:840].any()
 
 
+def test_prepare_host_gray_shortcut_parity(engines):
+    """The single-channel prepare path (pad gray directly) must be byte-equal
+    to the 3-channel chain GRAY2RGB -> pad -> RGB2GRAY it replaces: cv2's
+    RGB2GRAY fixed-point weights (9798+19235+3735 = 32768) make the
+    equal-channel round trip the identity."""
+    import cv2
+
+    from ocr_inference_tpu.ops import tiling
+    from ocr_inference_tpu.pipeline.engines import pad_ocr_line_host
+
+    _, rec = engines
+    rng = np.random.default_rng(5)
+    for shape in ((37, 411), (60, 1900), (80, 3000), (12, 40)):
+        strip = rng.integers(0, 256, shape, dtype=np.uint8)
+        for pre_pad in (False, True):
+            got = rec._prepare_host(strip, pre_pad)
+            # the replaced chain, spelled out
+            img = cv2.cvtColor(strip, cv2.COLOR_GRAY2RGB)
+            if pre_pad:
+                img = tiling.pre_pad_line(img)
+            bucket = tiling.bucket_for_width(
+                img.shape[1], img.shape[0], rec.config.input_height,
+                rec._buckets(),
+            )
+            canvas = pad_ocr_line_host(img, bucket, rec.config.input_height)
+            want = cv2.cvtColor(canvas, cv2.COLOR_RGB2GRAY)
+            if rec.pack_input:
+                from ocr_inference_tpu.core.config import (
+                    BINARIZE_BLOCK, BINARIZE_C,
+                )
+
+                want = cv2.adaptiveThreshold(
+                    want, 255, cv2.ADAPTIVE_THRESH_GAUSSIAN_C,
+                    cv2.THRESH_BINARY, BINARIZE_BLOCK, BINARIZE_C,
+                )
+            assert got.shape == want.shape
+            assert (got == want).all(), (shape, pre_pad)
+
+
 def test_detection_packed_input_parity(engines):
     """The packed-bits upload path (host cv2 binarize + bit-packed H2D) must
     produce the exact mask of the on-device binarize path."""

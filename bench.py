@@ -665,6 +665,27 @@ def main(argv=None):
         args.pages = (96 if args.config in (4, 5)
                       else 48 if args.config == 6 else N_PAGES)
 
+    # Backend-init watchdog: a wedged axon relay hangs jax.devices()
+    # FOREVER (observed: relay process alive + listening but upstream
+    # stdio pump dead — zero bytes flow, client blocks in PJRT init with
+    # no timeout). Exiting non-zero lets the caller's retry loop take a
+    # second attempt / surface the infra failure instead of stalling.
+    import threading
+
+    init_done = threading.Event()
+
+    def _watchdog():
+        if not init_done.wait(float(os.environ.get("BENCH_INIT_TIMEOUT", "600"))):
+            print(
+                "bench: jax backend init did not complete within "
+                "BENCH_INIT_TIMEOUT (default 600s) — axon relay wedged? "
+                "(healthy init takes seconds; compiles happen later)",
+                file=sys.stderr, flush=True,
+            )
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     from ocr_inference_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
@@ -681,6 +702,7 @@ def main(argv=None):
     import jax
 
     n_dev = len(jax.devices())
+    init_done.set()
     result = {
         "unit": "pages/s",
         "baseline_pages_per_sec": round(baseline["pages_per_sec"], 4),

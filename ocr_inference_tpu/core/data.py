@@ -307,7 +307,10 @@ class BatchConfig:
     handful of shapes once and the MXU sees large batched convolutions.
     """
 
-    width_buckets: tuple[int, ...] = (512, 1024, 2000, 3000)
+    # 2500 splits the long-line tail: without it every line wider than
+    # 2000 px padded to the full 3000-px canvas and ran in batch-1/2
+    # device calls (r3 occupancy histogram)
+    width_buckets: tuple[int, ...] = (512, 1024, 2000, 2500, 3000)
     max_lines_per_batch: int = 64
     tile_batch: int = 32
     dtype: str = "bfloat16"

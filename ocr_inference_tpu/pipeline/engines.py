@@ -710,11 +710,20 @@ class RecognitionEngine:
         for width, items in sorted(by_width.items()):
             for start in range(0, len(items), bmax):
                 chunk = items[start : start + bmax]
-                # round batch up to a power-of-two-ish step to bound the
-                # number of compiled shapes
-                b = 1
-                while b < len(chunk):
-                    b *= 2
+                # round the batch up to {1, 2, 4, 8, 16, 24, 32, ...}:
+                # multiples of 8 above 8 instead of powers of two. The r3
+                # occupancy histogram showed pow2 rounding padding 33-51
+                # real lines into 64-slot batches (25-50% waste); 8-steps
+                # bound waste at <= 7 slots (< 18% at the batches volumes
+                # run) for ~4 extra compiled shapes per bucket, amortized
+                # by the persistent compilation cache.
+                n = len(chunk)
+                if n <= 8:
+                    b = 1
+                    while b < n:
+                        b *= 2
+                else:
+                    b = -(-n // 8) * 8
                 b = min(b, bmax)
                 # a mesh batch must split evenly over the data axis
                 b = -(-b // self._dp) * self._dp

@@ -142,7 +142,7 @@ def build(det_chunk: int | None = None, per_line: bool = False, mesh=None):
     rec_vars = init_recognizer(rec_model, 80, 256)
     batch_cfg = BatchConfig(
         max_lines_per_batch=1 if per_line else 64,
-        width_buckets=(3000,) if per_line else (512, 1024, 2000, 3000),
+        width_buckets=(3000,) if per_line else (512, 1024, 2000, 2500, 3000),
     )
     rec = RecognitionEngine(
         rec_model, rec_vars, cfg, batch_cfg=batch_cfg, mesh=mesh,
@@ -177,9 +177,28 @@ def _percentile(sorted_vals: list[float], q: float) -> float:
     return sorted_vals[i]
 
 
+def _export_page(rec, exporters) -> None:
+    """Per-page PageXML + text export inside the timed loop — the BASELINE
+    config-4 spec exports with the reference's per-page granularity
+    (reference: BDRC/pipeline.py:168-171). Clears the page's full-page mask
+    afterwards: retaining ~4.2 MB of mask per record was the bulk of the r3
+    soak's RSS growth (+1.9 GB over 96 pages x 2 runs)."""
+    page_exp, text_exp = exporters
+    try:
+        if rec.mask is not None and rec.ocr_lines:
+            page_exp.export_lines(
+                rec.mask, rec.name, rec.lines, rec.ocr_lines,
+                angle=rec.angle,
+            )
+            text_exp.export_lines(None, rec.name, rec.lines, rec.ocr_lines)
+    finally:
+        rec.mask = None
+
+
 def run_volume(pipeline, pages, per_line: bool = False, use_tps: bool = False,
                geometry_workers=None, window_pages: int = 8,
-               timed_runs: int = 2):
+               timed_runs: int = 2, total_pages: int | None = None,
+               export_dir: str | None = None):
     """Returns (pages/sec, lines/sec, stage_ms, telemetry) over the volume
     (excluding warmup). pages/sec is the MEDIAN of per-window throughputs
     pooled across ``timed_runs`` passes (VERDICT r2 weak #5: best-of-2 rode
@@ -195,6 +214,12 @@ def run_volume(pipeline, pages, per_line: bool = False, use_tps: bool = False,
     baseline keeps the sequential page-at-a-time loop the reference CLI
     uses. Set OCR_BENCH_PROFILE=<dir> to capture a jax.profiler trace of
     the timed region.
+
+    ``total_pages`` > len(pages) cycles the page pool by reference (soak
+    scale without 500 x 12.7 MB of distinct input RAM; disclosed in the
+    JSON as distinct_pages). ``export_dir`` adds per-page PageXML + text
+    export inside the timed loop (the config-4 spec) and caps RSS by
+    dropping each page's mask once exported.
     """
     from ocr_inference_tpu.core.data import OpStatus
 
@@ -237,16 +262,41 @@ def run_volume(pipeline, pages, per_line: bool = False, use_tps: bool = False,
     jit_start = _jit_cache_sizes(pipeline)
     pipeline.ocr_inference.occupancy.clear()
 
+    total = total_pages or len(pages)
+    exporters = None
+    if export_dir is not None:
+        from ocr_inference_tpu.io.exporter import (
+            PageXMLExporter, TextExporter,
+        )
+
+        os.makedirs(export_dir, exist_ok=True)
+        exporters = (PageXMLExporter(export_dir), TextExporter(export_dir))
+
     window_tputs: list[float] = []
+    rss_curve: list[float] = []
     total_elapsed = 0.0
     results = []
     with trace:
         for _ in range(timed_runs):
             done_ts: list[float] = []
+
+            def page_done(rec):
+                if exporters is not None:
+                    _export_page(rec, exporters)
+                else:
+                    rec.mask = None
+                done_ts.append(time.perf_counter())
+                if len(done_ts) % 50 == 0:
+                    rss_curve.append(_rss_mb())
+
             start = time.perf_counter()
             results = runner.run(
-                [(f"p{i}", p) for i, p in enumerate(pages)], use_tps=use_tps,
-                on_page_done=lambda r: done_ts.append(time.perf_counter()),
+                (
+                    (f"p{i}", (lambda k=i: pages[k % len(pages)]))
+                    for i in range(total)
+                ),
+                use_tps=use_tps,
+                on_page_done=page_done,
             )
             total_elapsed += time.perf_counter() - start
             # per-window throughput: completion timestamps in chunks of
@@ -272,6 +322,11 @@ def run_volume(pipeline, pages, per_line: bool = False, use_tps: bool = False,
     real_batches = sorted(
         b for (_, b, _), c in occupancy.items() for _ in range(c)
     )
+    waste = sorted(
+        (padded - real) / padded
+        for (_, real, padded), c in occupancy.items()
+        for _ in range(c)
+    )
     telemetry = {
         "timing": {
             "median": round(_percentile(wt, 0.5), 3),
@@ -279,18 +334,31 @@ def run_volume(pipeline, pages, per_line: bool = False, use_tps: bool = False,
             "p90": round(_percentile(wt, 0.9), 3),
             "windows": len(wt),
             "window_pages": window_pages,
-            "overall": round(timed_runs * len(pages) / total_elapsed, 3),
+            "overall": round(timed_runs * total / total_elapsed, 3),
         },
         "occupancy": {
             f"w{w}:{real}/{padded}": c
             for (w, real, padded), c in sorted(occupancy.items())
         },
         "median_batch": _percentile(real_batches, 0.5),
+        # fraction of recognizer batch slots running zero-padded lines,
+        # median across device calls (r3 weak #7: keep < 0.15)
+        "padding_waste_median": round(_percentile(waste, 0.5), 3),
         "rss_mb": {"start": rss_start, "end": _rss_mb()},
+        # sampled every 50 completed pages across the timed runs — the soak
+        # plateau (or leak) is visible directly, not just start/end
+        "rss_curve_mb": [round(v, 1) for v in rss_curve],
         "jit_cache": {"start": jit_start, "end": _jit_cache_sizes(pipeline)},
     }
+    if exporters is not None:
+        import glob as _glob
+
+        telemetry["exports"] = {
+            "xml": len(_glob.glob(os.path.join(export_dir, "*.xml"))),
+            "txt": len(_glob.glob(os.path.join(export_dir, "*.txt"))),
+        }
     pps = telemetry["timing"]["median"]
-    return pps, pps * n_lines / len(pages), stage_ms, telemetry
+    return pps, pps * n_lines / total, stage_ms, telemetry
 
 
 def make_curved_volume(n_pages: int) -> list[np.ndarray]:
@@ -657,19 +725,35 @@ def main(argv=None):
     parser.add_argument("--config", type=int, default=4,
                         choices=[1, 2, 3, 4, 5, 6])
     parser.add_argument("--pages", type=int, default=None,
-                        help="volume size (default: 96 for configs 4/5 — "
-                             "soak scale per BASELINE config 4's ~500-page "
-                             "volume spec — else 12)")
+                        help="volume size (default: 500 for configs 4/5 — "
+                             "the BASELINE config 4 ~500-page volume spec, "
+                             "with per-page PageXML/text export in the "
+                             "timed loop — else 12)")
     args = parser.parse_args(argv)
     if args.pages is None:
-        args.pages = (96 if args.config in (4, 5)
+        args.pages = (500 if args.config in (4, 5)
                       else 48 if args.config == 6 else N_PAGES)
+
+    from ocr_inference_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    # CPU-side baseline measurement runs BEFORE the watchdog is armed: a
+    # fresh environment (BASELINE_MEASURED.json deleted to re-measure) spends
+    # ~30+ min in the torch-cpu per-line loop, which must not count against
+    # the backend-init budget (round-3 advisory).
+    baselines = load_baselines()
+    baseline = baselines["torch_cpu"]
 
     # Backend-init watchdog: a wedged axon relay hangs jax.devices()
     # FOREVER (observed: relay process alive + listening but upstream
     # stdio pump dead — zero bytes flow, client blocks in PJRT init with
     # no timeout). Exiting non-zero lets the caller's retry loop take a
     # second attempt / surface the infra failure instead of stalling.
+    # Scope: ONLY the first PJRT touch below. probe_pallas runs out of
+    # process with its own 900s bound (a hung Mosaic compile degrades to
+    # Pallas-off, it must not hard-kill the bench), so the watchdog is
+    # armed around jax.devices() alone.
     import threading
 
     init_done = threading.Event()
@@ -686,23 +770,16 @@ def main(argv=None):
 
     threading.Thread(target=_watchdog, daemon=True).start()
 
-    from ocr_inference_tpu.utils import enable_compilation_cache
+    import jax
 
-    enable_compilation_cache()
-
-    baselines = load_baselines()
-    baseline = baselines["torch_cpu"]
+    n_dev = len(jax.devices())
+    init_done.set()
 
     # enable the fused Pallas image kernels when the chip compiles them
     # (one bounded out-of-process probe; persists via marker + XLA cache)
     from ocr_inference_tpu.ops.pallas_kernels import pallas_enabled, probe_pallas
 
     probe_pallas(timeout_s=900)
-
-    import jax
-
-    n_dev = len(jax.devices())
-    init_done.set()
     result = {
         "unit": "pages/s",
         "baseline_pages_per_sec": round(baseline["pages_per_sec"], 4),
@@ -762,13 +839,23 @@ def main(argv=None):
 
             mesh = make_mesh()
         pipeline = build(mesh=mesh)
-        pps, lps, stage_ms, telemetry = run_volume(
-            pipeline, make_volume(args.pages)
-        )
+        # one timed pass at soak scale (>= 200 pages gives 25+ windows for
+        # the median on its own); two passes below that, as before
+        timed_runs = 1 if args.pages >= 200 else 2
+        result["timed_runs"] = timed_runs
+        pool = make_volume(min(args.pages, 96))
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as exp_dir:
+            pps, lps, stage_ms, telemetry = run_volume(
+                pipeline, pool, total_pages=args.pages,
+                export_dir=exp_dir, timed_runs=timed_runs,
+            )
         det_eng, rec_eng = pipeline.line_inference, pipeline.ocr_inference
         result.update(
             metric="pages_per_sec_end_to_end",
             lines_per_sec=round(lps, 1),
+            distinct_pages=len(pool),
             mesh=dict(mesh.shape) if mesh is not None else None,
             stage_ms_per_page=stage_ms,
             **telemetry,

@@ -123,3 +123,18 @@ def test_two_process_dcn_train_step(tmp_path):
     assert results[0]["fingerprint"] == pytest.approx(
         oracle["fingerprint"], rel=1e-6
     )
+
+    # inference sweep (round 4): pages host-sharded across the two
+    # processes, the full detect/geometry/recognize pipeline data-parallel
+    # over each process's local devices, per-page line counts allgathered
+    # across the process boundary. The union of per-process texts must equal
+    # the single-process oracle's run of ALL pages, and both processes must
+    # have gathered identical global line counts.
+    inf0, inf1 = results[0]["inference"], results[1]["inference"]
+    assert inf0["pages"] == [0, 2] and inf1["pages"] == [1, 3]
+    assert inf0["global_line_counts"] == inf1["global_line_counts"]
+    merged = {**inf0["texts"], **inf1["texts"]}
+    oracle_inf = oracle["inference"]
+    assert oracle_inf["pages"] == [0, 1, 2, 3]
+    assert merged == oracle_inf["texts"]
+    assert oracle_inf["global_line_counts"] == inf0["global_line_counts"]

@@ -35,6 +35,18 @@ def main(argv=None) -> int:
     ap.add_argument("--rec-batch", type=int, default=32)
     ap.add_argument("--seg-batch", type=int, default=8)
     ap.add_argument("--eval-pages", type=int, default=16)
+    ap.add_argument("--charset", choices=["base", "full"], default="base",
+                    help="base = 35 Wylie units; full = 77 units (retroflex "
+                         "+ subjoined/superscribed stacks), the size of the "
+                         "published recognizers' charsets")
+    ap.add_argument("--train-degrade", type=float, default=0.0,
+                    help="max ink-dropout/speckle augmentation level on "
+                         "recognizer training strips (per-sample U(0, max))")
+    ap.add_argument("--eval-suite", action="store_true",
+                    help="evaluate across 5 distributions (clean, degrade "
+                         "0.3/0.6, shear, curve+TPS) round-robin over "
+                         "--eval-pages, with per-distribution CER and a "
+                         "bootstrap 95%% CI on the pooled CER")
     ap.add_argument("--glyph-height", type=int, default=40)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--lr", type=float, default=3e-4)
@@ -93,8 +105,8 @@ def main(argv=None) -> int:
     )
     from ocr_inference_tpu.eval.cer import cer
     from ocr_inference_tpu.eval.synthetic import (
-        WYLIE_CHARSET, GlyphSet, recognizer_batch, render_page,
-        segmentation_batch,
+        WYLIE_CHARSET, WYLIE_CHARSET_FULL, GlyphSet, recognizer_batch,
+        render_page, segmentation_batch,
     )
     from ocr_inference_tpu.models import UNet, build_recognizer
     from ocr_inference_tpu.models.params import save_params
@@ -106,8 +118,8 @@ def main(argv=None) -> int:
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
-    charset = WYLIE_CHARSET
-    glyphs = GlyphSet(height=args.glyph_height, seed=7)
+    charset = WYLIE_CHARSET_FULL if args.charset == "full" else WYLIE_CHARSET
+    glyphs = GlyphSet(charset=charset, height=args.glyph_height, seed=7)
     vocab = len(charset) + 1
 
     log = lambda *a: print(*a, file=sys.stderr, flush=True)  # noqa: E731
@@ -132,6 +144,13 @@ def main(argv=None) -> int:
                     shutil.copy2(side, Path(str(out / name) + ".json"))
         meta = load_meta(out / "lines.msgpack") or {}
         args.unet_width = int(meta.get("width", args.unet_width))
+        rec_meta = load_meta(out / "recognizer.msgpack") or {}
+        if rec_meta.get("charset"):
+            # the reused recognizer fixes the charset (vocab size must
+            # match its head), whatever --charset says
+            charset = tuple(rec_meta["charset"])
+            glyphs = GlyphSet(charset=charset, height=args.glyph_height,
+                              seed=7)
         rec_loss = seg_loss = 0.0
         rec_steps_run = seg_steps_run = 0
         log(f"[weights] reusing {wdir} (training skipped)")
@@ -154,6 +173,13 @@ def main(argv=None) -> int:
             side = Path(str(src) + ".json")
             if side.is_file():
                 shutil.copy2(side, out / "recognizer.msgpack.json")
+        from ocr_inference_tpu.models.params import load_meta
+
+        rec_meta = load_meta(out / "recognizer.msgpack") or {}
+        if rec_meta.get("charset"):
+            charset = tuple(rec_meta["charset"])
+            glyphs = GlyphSet(charset=charset, height=args.glyph_height,
+                              seed=7)
         rec_loss = 0.0
         rec_steps_run = 0
         log(f"[rec] reusing {src} (recognizer training skipped)")
@@ -173,6 +199,7 @@ def main(argv=None) -> int:
             batch = recognizer_batch(
                 rng, glyphs, charset, args.rec_batch,
                 input_height=80, width=args.canvas_width,
+                degrade_max=args.train_degrade,
             )
             state, loss = rec_step(state, batch)
             if (i + 1) % args.log_every == 0 or i == 0:
@@ -332,6 +359,26 @@ def _run_eval(args, out, charset, glyphs, rec_loss, seg_loss,
     def beam_text(beams) -> str:
         return beams[0].text.strip().replace("§", " ") if beams else ""
 
+    # --eval-suite: 5 distributions round-robin over the pages (clean,
+    # two degradation levels, page shear through the deskew path, sine
+    # curvature through the TPS gate) — the per-distribution breakdown the
+    # reference's OCREvaluator produces on Uchan-OCR-EVAL's distribution
+    # folders (BDRC/inference.py:1013-1040)
+    from ocr_inference_tpu.eval.synthetic import distort_page
+
+    suite = None
+    if getattr(args, "eval_suite", False):
+        # (name, degrade, shear_deg, curve_amp, use_tps)
+        suite = [
+            ("clean", 0.0, 0.0, 0.0, False),
+            ("degrade_03", 0.3, 0.0, 0.0, False),
+            ("degrade_06", 0.6, 0.0, 0.0, False),
+            ("shear_05", 0.0, 0.5, 0.0, False),
+            ("curve_tps", 0.0, 0.0, 10.0, True),
+        ]
+        dist_preds: dict[str, list[str]] = {n: [] for n, *_ in suite}
+        dist_refs: dict[str, list[str]] = {n: [] for n, *_ in suite}
+
     eval_rng = np.random.RandomState(args.seed + 10_000)
     preds, refs, per_page = [], [], []
     preds_beam, preds_beam_lm = [], []
@@ -342,10 +389,21 @@ def _run_eval(args, out, charset, glyphs, rec_loss, seg_loss,
         page = render_page(
             eval_rng, glyphs, charset, token_sampler=token_sampler
         )
-        page_img = degrade_page(page.image, eval_rng, args.eval_degrade)
+        use_tps = False
+        if suite is not None:
+            dist_name, dg, shear, curve, use_tps = suite[p % len(suite)]
+            img = page.image
+            if shear or curve:
+                img = distort_page(
+                    img, eval_rng, shear_deg=shear, curve_amp=curve
+                )
+            page_img = degrade_page(img, eval_rng, dg)
+        else:
+            page_img = degrade_page(page.image, eval_rng, args.eval_degrade)
         capture = StripCapture()
         status, payload = pipeline.run_ocr(
-            page_img, target_encoding=Encoding.WYLIE, observer=capture
+            page_img, target_encoding=Encoding.WYLIE, observer=capture,
+            use_tps=use_tps,
         )
         ref_text = " ".join(page.texts)
         if status != OpStatus.SUCCESS:
@@ -371,9 +429,13 @@ def _run_eval(args, out, charset, glyphs, rec_loss, seg_loss,
         preds_beam.append(beam_joined)
         preds_beam_lm.append(beam_lm_joined)
         refs.append(ref_text)
+        if suite is not None:
+            dist_preds[dist_name].append(pred_text)
+            dist_refs[dist_name].append(ref_text)
         page_cer = cer([pred_text], [ref_text])
         per_page.append(round(page_cer, 4))
-        log(f"[eval] page {p + 1}/{args.eval_pages} CER {page_cer:.4f}")
+        log(f"[eval] page {p + 1}/{args.eval_pages} CER {page_cer:.4f}"
+            + (f" [{dist_name}]" if suite is not None else ""))
     total_cer = cer(preds, refs)
     eval_s = time.perf_counter() - t0
 
@@ -391,6 +453,18 @@ def _run_eval(args, out, charset, glyphs, rec_loss, seg_loss,
         "charset_size": len(charset),
         "backend": jax.default_backend(),
     }
+    if suite is not None:
+        from ocr_inference_tpu.eval.cer import cer_bootstrap_ci
+
+        lo, hi = cer_bootstrap_ci(preds, refs)
+        result["cer_ci95"] = [round(lo, 5), round(hi, 5)]
+        result["per_distribution"] = {
+            name: {
+                "pages": len(dist_refs[name]),
+                "cer": round(cer(dist_preds[name], dist_refs[name]), 5),
+            }
+            for name, *_ in suite
+        }
     if args.eval_text_dist != "uniform":
         result["eval_text_dist"] = args.eval_text_dist
     if args.eval_degrade:

@@ -58,3 +58,33 @@ class CERScorer:
 
 def cer(predictions: Sequence[str], references: Sequence[str]) -> float:
     return CERScorer().compute(predictions, references)
+
+
+def cer_bootstrap_ci(
+    predictions: Sequence[str],
+    references: Sequence[str],
+    n_boot: int = 1000,
+    seed: int = 0,
+    alpha: float = 0.05,
+) -> tuple[float, float]:
+    """Percentile bootstrap CI for corpus CER: resample (pred, ref) pairs
+    with replacement, recompute the corpus-level ratio each time, return
+    the (alpha/2, 1-alpha/2) quantiles. Distances are computed once per
+    pair — resamples only re-aggregate sums, so 1000 resamples are cheap
+    even at hundreds of pages. Round-3 verdict weak #4: a point CER from
+    16 pages where one page carries all the error needs an interval."""
+    if len(predictions) != len(references):
+        raise ValueError("predictions and references length mismatch")
+    dists = np.array(
+        [levenshtein(p, r) for p, r in zip(predictions, references)],
+        dtype=np.float64,
+    )
+    lens = np.array([len(r) for r in references], dtype=np.float64)
+    n = len(dists)
+    if n == 0 or lens.sum() == 0:
+        return (0.0, 0.0)
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, n, size=(n_boot, n))
+    boot = dists[idx].sum(axis=1) / np.maximum(lens[idx].sum(axis=1), 1.0)
+    lo, hi = np.quantile(boot, [alpha / 2.0, 1.0 - alpha / 2.0])
+    return (float(lo), float(hi))

@@ -30,6 +30,28 @@ WYLIE_CHARSET: tuple[str, ...] = (
     "r", "l", "sh", "s", "h", "a", "i", "u", "e", "o", "§",
 )
 
+# Realistic-scale charset (77 units, the size of the published recognizers'
+# Wylie charsets — reference model configs carry ~77-80 units incl. stacks,
+# utils.py:349-393 "charset"): the 35 base units plus retroflex/Sanskrit
+# letters and the common subjoined/superscribed consonant stacks, each a
+# single charset unit exactly as the reference's stack-aware encoders treat
+# them (BDRC/label_encoder.py:104-125). Each token gets its own glyph, so
+# the recognizer faces a genuinely 77-way classification.
+WYLIE_CHARSET_FULL: tuple[str, ...] = WYLIE_CHARSET + (
+    # retroflex / Sanskrit transliteration
+    "T", "Th", "D", "N", "Sh",
+    # ra-ta stacks (subjoined r)
+    "kr", "khr", "gr", "pr", "phr", "br", "mr",
+    # ya-ta stacks (subjoined y)
+    "ky", "khy", "gy", "py", "phy", "by", "my",
+    # ra-mgo stacks (superscribed r)
+    "rk", "rg", "rng", "rj", "rny", "rt", "rd", "rn", "rb", "rm",
+    "rts", "rdz",
+    # sa-mgo stacks (superscribed s)
+    "sk", "sg", "sng", "sny", "st", "sd", "sn", "sp", "sb", "sm", "sts",
+)
+assert len(WYLIE_CHARSET_FULL) == 77
+
 
 def _token_rng(token: str, seed: int) -> np.random.RandomState:
     digest = hashlib.sha256(f"{seed}:{token}".encode()).digest()
@@ -184,6 +206,42 @@ def degrade_page(
         y = int(rng.randint(0, h - 2))
         x = int(rng.randint(0, w - 2))
         img[y : y + 2, x : x + 2] = int(rng.randint(20, 70))
+    return img
+
+
+def distort_page(
+    image: np.ndarray,
+    rng: np.random.RandomState,
+    shear_deg: float = 0.0,
+    curve_amp: float = 0.0,
+) -> np.ndarray:
+    """Geometric distortions for the eval suite (round 4): a small
+    whole-page rotation (exercises the deskew path — the pipeline rotates
+    pages whose line angle exceeds 0.5°, geometry/lines.py
+    build_raw_line_data) and a horizontal sine curve (the camera-capture
+    warp the TPS gate exists for, dewarp/tps.py check_line_tps). Sign of
+    the shear is random per page; paper-colored borders."""
+    img = image
+    h, w = img.shape[:2]
+    paper = (235, 235, 235)
+    if curve_amp > 0:
+        xs = np.arange(w, dtype=np.float32)
+        dy = curve_amp * np.sin(xs * (2.0 * np.pi / (w * 0.9)))
+        map_x = np.broadcast_to(xs, (h, w)).astype(np.float32)
+        map_y = (
+            np.arange(h, dtype=np.float32)[:, None] + dy[None, :]
+        ).astype(np.float32)
+        img = cv2.remap(
+            img, map_x, map_y, cv2.INTER_LINEAR,
+            borderMode=cv2.BORDER_CONSTANT, borderValue=paper,
+        )
+    if shear_deg != 0.0:
+        deg = float(shear_deg) * (1 if int(rng.randint(2)) else -1)
+        M = cv2.getRotationMatrix2D((w / 2.0, h / 2.0), deg, 1.0)
+        img = cv2.warpAffine(
+            img, M, (w, h), flags=cv2.INTER_LINEAR,
+            borderMode=cv2.BORDER_CONSTANT, borderValue=paper,
+        )
     return img
 
 
@@ -365,11 +423,14 @@ def recognizer_batch(
     max_label: int = 48,
     n_syllables: tuple[int, int] = (4, 10),
     syllable_len: tuple[int, int] = (1, 4),
+    degrade_max: float = 0.0,
 ) -> dict:
     """CTC training batch in the RecognitionEngine's exact input
     representation: strips -> pad_ocr_line canvas -> grayscale -> cv2
     adaptive threshold -> {-1, +1} (pipeline/engines.py _prepare_host +
-    _forward_fn)."""
+    _forward_fn). ``degrade_max`` > 0 applies ink-dropout/speckle
+    augmentation at a per-sample level ~ U(0, degrade_max), matching the
+    eval suite's degraded distributions."""
     from ocr_inference_tpu.core.config import BINARIZE_BLOCK, BINARIZE_C
     from ocr_inference_tpu.pipeline.engines import pad_ocr_line_host
 
@@ -394,6 +455,10 @@ def recognizer_batch(
                 rng, glyphs, charset, tokens=tokens
             )
             scale = input_height / strip.shape[0]
+        if degrade_max > 0:
+            strip = degrade_page(
+                strip, rng, float(rng.uniform(0.0, degrade_max))
+            )
         canvas = pad_ocr_line_host(strip, width, input_height)
         gray = cv2.cvtColor(canvas, cv2.COLOR_RGB2GRAY)
         bw = cv2.adaptiveThreshold(

@@ -633,6 +633,54 @@ def _layer_norm(node, inputs):
     return (out,)
 
 
+def _q_params(node, inputs, x_rank):
+    """(scale, zero_point) broadcast to the quantization axis (default 1)
+    when per-channel (1-D scale), per the QuantizeLinear/DequantizeLinear
+    spec; scalars pass through."""
+    scale = inputs[1]
+    zp = inputs[2] if len(inputs) > 2 and inputs[2] is not None else None
+    if np.ndim(scale) >= 1 and np.size(scale) > 1:
+        axis = int(node.attr("axis", 1)) % x_rank
+        shape = [1] * x_rank
+        shape[axis] = -1
+        scale = jnp.reshape(scale, shape)
+        if zp is not None:
+            zp = jnp.reshape(zp, shape)
+    return scale, zp
+
+
+@register("DequantizeLinear")
+def _dequantize_linear(node, inputs):
+    """y = (x - zero_point) * scale — the quantized-checkpoint dialect's
+    weight storage (int8 initializers) and the DQ half of QDQ activation
+    pairs. Constant-initializer instances are usually folded away at load
+    (wire.fold_dequantize); this op covers the runtime (activation) case."""
+    x = inputs[0]
+    scale, zp = _q_params(node, inputs, max(np.ndim(x), 1))
+    xf = jnp.asarray(x).astype(jnp.float32)
+    if zp is not None:
+        xf = xf - jnp.asarray(zp).astype(jnp.float32)
+    return (xf * jnp.asarray(scale).astype(jnp.float32),)
+
+
+@register("QuantizeLinear")
+def _quantize_linear(node, inputs):
+    """y = saturate(round(x / scale) + zero_point), round half-to-even,
+    saturation range from the zero-point dtype (uint8 when absent)."""
+    x = inputs[0]
+    scale, zp = _q_params(node, inputs, max(np.ndim(x), 1))
+    y = jnp.round(jnp.asarray(x) / jnp.asarray(scale).astype(jnp.float32))
+    if zp is not None:
+        out_dtype = np.dtype(np.asarray(zp).dtype if not hasattr(zp, "dtype")
+                             else zp.dtype)
+        y = y + jnp.asarray(zp).astype(jnp.float32)
+    else:
+        out_dtype = np.dtype(np.uint8)
+    info = np.iinfo(out_dtype)
+    y = jnp.clip(y, info.min, info.max)
+    return (y.astype(out_dtype),)
+
+
 @register("Dropout")
 def _dropout(node, inputs):
     return (inputs[0],)

@@ -453,6 +453,66 @@ def _resolve_graph_external(graph: Graph, base_dir) -> None:
                 _resolve_graph_external(a.g, base_dir)
 
 
+def tensor_from_numpy(name: str, arr) -> TensorProto:
+    """TensorProto carrying a numpy array as raw_data."""
+    import numpy as np
+
+    arr = np.ascontiguousarray(arr)
+    rev = {v: k for k, v in TENSOR_DTYPES.items()}
+    dt = rev.get(str(arr.dtype))
+    if dt is None:
+        raise ValueError(f"unsupported numpy dtype {arr.dtype}")
+    t = TensorProto(name=name, dims=list(arr.shape), data_type=dt)
+    t.raw_data = arr.tobytes()
+    return t
+
+
+def fold_dequantize(graph: Graph) -> int:
+    """Fold DequantizeLinear nodes whose inputs are all initializers into
+    plain float32 initializers under the node's output name.
+
+    This is how quantized checkpoints (int8 weights + per-tensor or
+    per-channel scale/zero-point — the standard HF size-reduction export of
+    the reference's model repos, Config.py:18-35) become transparent to the
+    executor AND the weight transplanter: after folding, the graph looks
+    like an fp32 checkpoint. QDQ pairs on activations (non-initializer
+    data input) are left for the runtime ops. Returns the folded count."""
+    import numpy as np
+
+    inits = graph.initializers
+    kept = []
+    n_folded = 0
+    for node in graph.nodes:
+        if node.op_type == "DequantizeLinear" and all(
+            (not name) or name in inits for name in node.inputs
+        ):
+            x = inits[node.inputs[0]].to_numpy().astype(np.float32)
+            scale = inits[node.inputs[1]].to_numpy().astype(np.float32)
+            zp = (
+                inits[node.inputs[2]].to_numpy().astype(np.float32)
+                if len(node.inputs) > 2 and node.inputs[2]
+                else None
+            )
+            if scale.ndim >= 1 and scale.size > 1:  # per-channel
+                a = node.attributes.get("axis")
+                axis = int(a.value) if a is not None else 1
+                shape = [1] * x.ndim
+                shape[axis % x.ndim] = -1
+                scale = scale.reshape(shape)
+                if zp is not None:
+                    zp = zp.reshape(shape)
+            if zp is not None:
+                x = x - zp
+            inits[node.outputs[0]] = tensor_from_numpy(
+                node.outputs[0], x * scale
+            )
+            n_folded += 1
+        else:
+            kept.append(node)
+    graph.nodes[:] = kept
+    return n_folded
+
+
 def load_model(path) -> Model:
     from pathlib import Path
 
@@ -461,6 +521,8 @@ def load_model(path) -> Model:
         model = parse_model(f.read())
     # external-data tensors live relative to the model file
     _resolve_graph_external(model.graph, path.parent)
+    # quantized-checkpoint dialect: weight DequantizeLinear folds to fp32
+    fold_dequantize(model.graph)
     return model
 
 

@@ -78,7 +78,7 @@ def tensor(
 ) -> bytes:
     """TensorProto with exporter-style encodings. storage: raw | floats |
     external."""
-    dtypes = {"float32": 1, "int64": 7, "int32": 6}
+    dtypes = {"float32": 1, "int64": 7, "int32": 6, "int8": 3, "uint8": 2}
     out = packed_varints(1, arr.shape)  # packed dims
     out += vi(2, dtypes[str(arr.dtype)])
     out += s(8, name)

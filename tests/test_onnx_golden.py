@@ -263,3 +263,28 @@ def test_onnx_module_line_layout_squeeze(tmp_path, keep_channel_axis):
         want = torch_forward(x[:, None, :, :])
         assert got.shape == (b, 32, 6)
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_opset11_attribute_style_dialect(tmp_path):
+    """Pre-opset-13 exporters carry Squeeze/Unsqueeze axes and Pad pads as
+    ATTRIBUTES, not inputs (the keras2onnx / older torch dialect). The
+    executor must accept both spellings; numpy is the oracle."""
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(1, 3, 6, 6)).astype(np.float32)
+    nodes = [
+        sim.node("Pad", ["input"], ["p"], pads=[0, 0, 1, 1, 0, 0, 1, 1]),
+        sim.node("ReduceMean", ["p"], ["m"], axes=[2, 3], keepdims=1),
+        sim.node("Squeeze", ["m"], ["s"], axes=[2, 3]),
+        sim.node("Unsqueeze", ["s"], ["output"], axes=[0]),
+    ]
+    inputs = [sim.value_info("input", (1, 3, 6, 6))]
+    outputs = [sim.value_info("output", (1, 1, 3))]
+    path = tmp_path / "opset11.onnx"
+    path.write_bytes(sim.model(nodes, [], inputs, outputs, opset=11))
+    m = load_model(path)
+    assert m.opset == 11
+    fn = OnnxGraphFunction(m)
+    (got,) = fn(fn.weights, x)
+    padded = np.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    want = padded.mean(axis=(2, 3), keepdims=True)[None, :, :, 0, 0]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-7)

@@ -54,6 +54,38 @@ from ocr_inference_tpu.parallel.mesh import (
 )
 
 
+_H2D_MBPS: float | None = None
+
+
+def _h2d_bandwidth_mbps() -> float:
+    """One-shot measured host->device bandwidth (cached per process).
+
+    Uploads a 4 MB buffer to the default device and times upload + a
+    scalar-consuming readback, subtracting a measured empty round trip —
+    coarse, but the decision it feeds (bit-packed detection uploads) only
+    needs an order of magnitude: tunnel phases measure 35-1300 MB/s, PCIe
+    is >1 GB/s."""
+    global _H2D_MBPS
+    if _H2D_MBPS is not None:
+        return _H2D_MBPS
+    try:
+        import time
+
+        buf = np.zeros((4 * 1024 * 1024,), np.uint8)
+        consume = jax.jit(lambda x: jnp.sum(x[:: 65536].astype(jnp.int32)))
+        float(consume(jax.device_put(buf)))  # warm the compile
+        t0 = time.perf_counter()
+        float(consume(jax.device_put(buf[:64])))
+        rtt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(consume(jax.device_put(buf)))
+        dt = max(time.perf_counter() - t0 - rtt, 1e-4)
+        _H2D_MBPS = buf.nbytes / dt / 1e6
+    except Exception:
+        _H2D_MBPS = 1e9  # probe failed: assume fast, keep uploads simple
+    return _H2D_MBPS
+
+
 class _ShapeLRU:
     """Tiny LRU for per-geometry jitted callables."""
 
@@ -123,11 +155,20 @@ class SegmentationEngine:
         )
         if pack_input is None:
             # The packed upload trades ~60-80ms of host binarize per page
-            # for 8x less H2D. It wins when host cores are plentiful and
-            # loses when the host is starved (measured: 4.5 -> 2.8 pages/s
-            # on a 1-core bench host whose geometry threads already
-            # saturate the CPU), so auto mode keys on core count.
-            pack_input = (os.cpu_count() or 1) > 2
+            # for 8x less H2D. Plentiful cores: always worth it. On a
+            # starved (1-2 core) host the answer depends on the TRANSPORT,
+            # not the cores: round-3 measured pack losing there (4.5 -> 2.8
+            # pages/s) in a fast-H2D tunnel phase, but round 4 measured it
+            # 2x ahead (10.8 -> 20.6 pages/s, adjacent interleaved A/B)
+            # once VolumeRunner's detect_ahead queue let the binarize
+            # overlap device work in a 35 MB/s phase. So auto mode on a
+            # low-core host probes the actual H2D bandwidth once (~0.2 s)
+            # and packs when it is below ~250 MB/s — the break-even where
+            # the bytes saved outweigh the host binarize.
+            if (os.cpu_count() or 1) > 2:
+                pack_input = True
+            else:
+                pack_input = _h2d_bandwidth_mbps() < 250.0
         self.pack_input = pack_input
         if fused_page is None:
             env = os.environ.get("OCR_FUSED_DETECT")
@@ -819,7 +860,13 @@ class RecognitionEngine:
         runs ONCE (logits cached per strip), each (alpha, beta) re-decodes,
         and the winner must beat the no-LM beam CER or ``lm_fusion_enabled``
         clears, turning every later ``use_lm=True`` call into a plain beam.
-        ``refs`` use the pipeline text convention ("§" already a space)."""
+        ``refs`` use the pipeline text convention ("§" already a space).
+
+        The winning grid point must ALSO beat the plain beam on a held-out
+        half of the sample (tune on even lines, validate on odd): a 12-point
+        grid over a couple dozen lines can find a lucky point on the tuning
+        half alone, which round-4 measurement showed shipping fusion that
+        then hurt on the eval distribution."""
         from ocr_inference_tpu.eval.cer import cer
 
         dec = self.ctc_decoder_lm
@@ -838,11 +885,12 @@ class RecognitionEngine:
             for row, idx in enumerate(idxs):
                 logits_by_idx[idx] = logits[row]
         order = sorted(logits_by_idx)
-        kept_refs = [refs[i] for i in order]
+        tune = order[0::2]
+        hold = order[1::2] or tune  # degenerate tiny samples: no holdout
 
-        def decode_all(use_lm: bool) -> list[str]:
+        def decode_all(subset, use_lm: bool) -> list[str]:
             texts = []
-            for i in order:
+            for i in subset:
                 beams = dec.ctc_beam_decode(
                     logits_by_idx[i], use_lm=use_lm, top_k=1
                 )
@@ -851,27 +899,41 @@ class RecognitionEngine:
                 )
             return texts
 
-        base = cer(decode_all(False), kept_refs)
+        def score(subset, use_lm: bool) -> float:
+            return cer(decode_all(subset, use_lm), [refs[i] for i in subset])
+
+        base_tune = score(tune, False)
         best_a = best_b = None
-        best = base
+        best = base_tune
         grid = []
         for a in alphas:
             for b_ in betas:
                 dec.lm_alpha, dec.lm_beta = a, b_
-                c = cer(decode_all(True), kept_refs)
+                c = score(tune, True)
                 grid.append([a, b_, round(c, 5)])
                 if c < best:
                     best_a, best_b, best = a, b_, c
         report = {
-            "cer_beam": round(base, 5),
+            "cer_beam": round(base_tune, 5),
             "grid": grid,
             "lines": len(order),
         }
+        if best_a is not None:
+            # holdout gate: the chosen point must not lose on unseen lines
+            dec.lm_alpha, dec.lm_beta = best_a, best_b
+            base_hold = score(hold, False)
+            lm_hold = score(hold, True)
+            report.update(
+                cer_beam_holdout=round(base_hold, 5),
+                cer_beam_lm_holdout=round(lm_hold, 5),
+            )
+            if lm_hold > base_hold:
+                best_a = None
         if best_a is None:
             self.lm_fusion_enabled = False
             print(
                 "LM fusion auto-disabled: no (alpha, beta) beat the plain "
-                f"beam (CER {base:.4f}) on the calibration sample",
+                f"beam on both calibration halves (tune CER {base_tune:.4f})",
                 file=sys.stderr,
             )
             report.update(enabled=False)

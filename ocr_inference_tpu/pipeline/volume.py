@@ -55,6 +55,7 @@ class VolumeRunner:
         window_pages: int = 8,
         prefetch_workers: Optional[int] = None,
         geometry_workers: Optional[int] = None,
+        detect_ahead: Optional[int] = None,
     ):
         # Auto worker counts key on host cores: on a 1-2 core host the
         # extra threads only time-slice the same core (decode, geometry,
@@ -71,6 +72,19 @@ class VolumeRunner:
         self.window_pages = max(1, window_pages)
         self.prefetch_workers = max(1, prefetch_workers)
         self.geometry_workers = max(1, geometry_workers)
+        # How many pages may have detection dispatched (device programs
+        # enqueued) beyond the ones whose geometry is resolving. Deeper
+        # keeps the device queue full across the per-page D2H sync — over a
+        # high-RTT transport the next pages' uploads/forwards execute while
+        # the geometry thread blocks on page i's mask readback. Worth HBM:
+        # each in-flight page holds its float tile stack (~75 MB at 24
+        # tiles). Interleaved A/B on the axon relay (24-page volume,
+        # medians of 6 windows): depth 2 -> 6.1, 4 -> 8.3, 8 -> 11.3
+        # pages/s (20.6 with packed detection uploads); 16 gained nothing
+        # over 8. OCR_DETECT_AHEAD overrides.
+        if detect_ahead is None:
+            detect_ahead = int(os.environ.get("OCR_DETECT_AHEAD", "8"))
+        self.detect_ahead = max(self.geometry_workers + 1, detect_ahead)
 
     # -- phase 1: one page to strips --
 
@@ -288,7 +302,7 @@ class VolumeRunner:
             inflight: deque = deque()
             # distinct from the decode lookahead 'depth' above — rebinding
             # that one would silently cap the loader queue by worker count
-            geo_depth = self.geometry_workers + 1
+            geo_depth = self.detect_ahead
 
             def process(fut):
                 nonlocal window

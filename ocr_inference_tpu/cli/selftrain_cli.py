@@ -90,6 +90,11 @@ def main(argv=None) -> int:
                     help="reuse only recognizer.msgpack from DIR: skip "
                          "recognizer training, still train the UNet "
                          "(detector-variant experiments)")
+    ap.add_argument("--weights-seg", default=None,
+                    help="reuse only lines.msgpack from DIR: skip UNet "
+                         "training, still train the recognizer (the "
+                         "detector is charset-independent, so charset "
+                         "experiments reuse it)")
     args = ap.parse_args(argv)
 
     from ocr_inference_tpu.utils import enable_compilation_cache
@@ -213,8 +218,26 @@ def main(argv=None) -> int:
             f"loss {rec_loss:.4f}")
 
     # ------------------------------------------------------------------
-    # 2. train the line-detection UNet
+    # 2. train the line-detection UNet — or reuse (--weights-seg)
     # ------------------------------------------------------------------
+    if args.weights_seg:
+        import shutil
+
+        from ocr_inference_tpu.models.params import load_meta
+
+        src = Path(args.weights_seg) / "lines.msgpack"
+        if not src.is_file():
+            sys.exit(f"--weights-seg: {src} not found")
+        if src.resolve() != (out / "lines.msgpack").resolve():
+            shutil.copy2(src, out / "lines.msgpack")
+            side = Path(str(src) + ".json")
+            if side.is_file():
+                shutil.copy2(side, out / "lines.msgpack.json")
+        meta = load_meta(out / "lines.msgpack") or {}
+        args.unet_width = int(meta.get("width", args.unet_width))
+        log(f"[seg] reusing {src} (UNet training skipped)")
+        return _run_eval(args, out, charset, glyphs, rec_loss, 0.0,
+                         rec_steps_run, 0, log)
     t0 = time.perf_counter()
     seg_model = UNet(classes=1, width=args.unet_width,
                      stem_stride=args.unet_stem_stride)
@@ -320,29 +343,6 @@ def _run_eval(args, out, charset, glyphs, rec_loss, seg_loss,
     # builder reads them back (build_detection_engine)
     pipeline = build_pipeline(ocr_config, line_config, kenlm_config=kenlm_cfg)
 
-    # --lm-tune: grid-search fusion weights on labeled calibration strips
-    # (never the eval pages), auto-disabling fusion when it cannot win —
-    # the eval below then exercises the guarded, tuned path end to end.
-    lm_report = None
-    if args.lm_tune and kenlm_cfg is not None:
-        from ocr_inference_tpu.eval.synthetic import (
-            extraction_matched_strip, sample_tokens, tokens_to_text,
-        )
-
-        calib_rng = np.random.RandomState(args.seed + 31_337)
-        strips, calib_refs = [], []
-        for _ in range(args.lm_calib_lines):
-            toks = (token_sampler or sample_tokens)(calib_rng, charset)
-            strip, toks = extraction_matched_strip(
-                calib_rng, glyphs, charset, tokens=toks
-            )
-            strips.append(degrade_page(strip, calib_rng, args.eval_degrade))
-            calib_refs.append(tokens_to_text(toks))
-        t_cal = time.perf_counter()
-        lm_report = pipeline.ocr_inference.calibrate_lm(strips, calib_refs)
-        log(f"[lm] calibration ({time.perf_counter() - t_cal:.1f}s): "
-            f"{ {k: v for k, v in lm_report.items() if k != 'grid'} }")
-
     from ocr_inference_tpu.pipeline.ocr_pipeline import PipelineObserver
 
     class StripCapture(PipelineObserver):
@@ -358,6 +358,46 @@ def _run_eval(args, out, charset, glyphs, rec_loss, seg_loss,
 
     def beam_text(beams) -> str:
         return beams[0].text.strip().replace("§", " ") if beams else ""
+
+    # --lm-tune: grid-search fusion weights on labeled calibration strips
+    # (never the eval pages), auto-disabling fusion when it cannot win —
+    # the eval below then exercises the guarded, tuned path end to end.
+    # Calibration strips come from the REAL pipeline (rendered pages ->
+    # detection -> geometry -> extraction), not from synthetic
+    # extraction-matched strips: round-4 measurement showed those sit in a
+    # different error regime (CER ~10% vs ~0.7% on the same stack), and a
+    # grid point that won there shipped fusion that then hurt on the eval
+    # distribution. Calibration pages use the SAME distribution settings as
+    # the eval (text dist + degrade); refs pair by reading order on pages
+    # where detection found exactly the rendered lines.
+    lm_report = None
+    if args.lm_tune and kenlm_cfg is not None:
+        calib_rng = np.random.RandomState(args.seed + 31_337)
+        strips, calib_refs = [], []
+        t_cal = time.perf_counter()
+        attempts = 0
+        while len(strips) < args.lm_calib_lines and attempts < 50:
+            attempts += 1
+            page = render_page(
+                calib_rng, glyphs, charset, token_sampler=token_sampler
+            )
+            page_img = degrade_page(page.image, calib_rng, args.eval_degrade)
+            cap = StripCapture()
+            status, _ = pipeline.run_ocr(
+                page_img, target_encoding=Encoding.WYLIE, observer=cap
+            )
+            if (status != OpStatus.SUCCESS
+                    or len(cap.strips) != len(page.texts)):
+                continue  # detection merged/split lines: refs can't pair
+            strips.extend(cap.strips)
+            calib_refs.extend(page.texts)
+        n = args.lm_calib_lines
+        lm_report = pipeline.ocr_inference.calibrate_lm(
+            strips[:n], calib_refs[:n]
+        )
+        log(f"[lm] calibration ({time.perf_counter() - t_cal:.1f}s, "
+            f"{min(len(strips), n)} pipeline-extracted lines): "
+            f"{ {k: v for k, v in lm_report.items() if k != 'grid'} }")
 
     # --eval-suite: 5 distributions round-robin over the pages (clean,
     # two degradation levels, page shear through the deskew path, sine

@@ -70,3 +70,18 @@ def test_evaluator_runs_with_random_weights(tmp_path):
     )
     assert result.distribution == "dist0"
     assert len(result.cer_scores) == 1
+
+
+def test_cer_bootstrap_ci_contains_point_and_orders():
+    from ocr_inference_tpu.eval.cer import cer, cer_bootstrap_ci
+
+    preds = ["abc", "abd", "xyz", "abc"] * 10
+    refs = ["abc", "abc", "abc", "abc"] * 10
+    point = cer(preds, refs)
+    lo, hi = cer_bootstrap_ci(preds, refs, n_boot=500, seed=1)
+    assert lo <= point <= hi
+    assert 0.0 <= lo < hi <= 1.5
+    # deterministic for a fixed seed
+    assert (lo, hi) == cer_bootstrap_ci(preds, refs, n_boot=500, seed=1)
+    # degenerate: perfect predictions give a zero-width interval at 0
+    assert cer_bootstrap_ci(["a"] * 5, ["a"] * 5) == (0.0, 0.0)

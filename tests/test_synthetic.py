@@ -74,3 +74,60 @@ def test_sample_tokens_structure():
     toks = sample_tokens(rng)
     assert toks and toks[0] != "§" and toks[-1] != "§"
     assert all(t in WYLIE_CHARSET for t in toks)
+
+
+def test_full_charset_77_unique_glyphs():
+    from ocr_inference_tpu.eval.synthetic import (
+        WYLIE_CHARSET_FULL, GlyphSet,
+    )
+
+    assert len(WYLIE_CHARSET_FULL) == 77
+    assert len(set(WYLIE_CHARSET_FULL)) == 77
+    glyphs = GlyphSet(charset=WYLIE_CHARSET_FULL, height=40, seed=7)
+    # every token renders a non-empty ink mask of the configured height
+    for tok in WYLIE_CHARSET_FULL:
+        g = glyphs.glyph(tok)
+        assert g.shape[0] == 40 and g.max() == 255
+
+
+def test_distort_page_shear_and_curve():
+    import numpy as np
+
+    from ocr_inference_tpu.eval.synthetic import distort_page
+
+    rng = np.random.RandomState(3)
+    img = np.full((200, 400, 3), 235, np.uint8)
+    img[90:110, 50:350] = 40
+    sheared = distort_page(img, rng, shear_deg=1.0)
+    assert sheared.shape == img.shape
+    # rotation moved ink off the original band
+    assert (sheared[90:110, 50:350] == 40).mean() < 0.99
+    curved = distort_page(img, np.random.RandomState(3), curve_amp=8.0)
+    assert curved.shape == img.shape
+    # curvature displaces the band vertically at some x, not others
+    cols_with_ink = [
+        int(np.nonzero(curved[:, x, 0] < 128)[0].mean())
+        for x in (60, 200, 340)
+    ]
+    assert max(cols_with_ink) - min(cols_with_ink) >= 4
+    # level 0 / no-op args are the identity
+    np.testing.assert_array_equal(distort_page(img, rng), img)
+
+
+def test_recognizer_batch_degrade_augmentation():
+    import numpy as np
+
+    from ocr_inference_tpu.eval.synthetic import (
+        WYLIE_CHARSET, GlyphSet, recognizer_batch,
+    )
+
+    glyphs = GlyphSet(height=40, seed=7)
+    clean = recognizer_batch(
+        np.random.RandomState(5), glyphs, WYLIE_CHARSET, 2, width=256
+    )
+    noisy = recognizer_batch(
+        np.random.RandomState(5), glyphs, WYLIE_CHARSET, 2, width=256,
+        degrade_max=0.8,
+    )
+    assert clean["images"].shape == noisy["images"].shape
+    assert not np.array_equal(clean["images"], noisy["images"])

@@ -869,7 +869,17 @@ def main(argv=None):
             result["pallas_parity"] = pallas_parity_check()
 
     result["value"] = round(pps, 3)
-    result["vs_baseline"] = round(pps / baseline["pages_per_sec"], 2)
+    # vs_baseline divides by the STRONGER of the two reference stand-ins
+    # (r3 verdict weak #6: the torch-cpu number came from 3 pages on a
+    # 1-vCPU host and inflates the ratio; the defensible claim is the
+    # conservative one). Both denominators stay disclosed above.
+    strongest = max(
+        baseline["pages_per_sec"], baselines["xla_cpu"]["pages_per_sec"]
+    )
+    result["vs_baseline"] = round(pps / strongest, 2)
+    result["vs_baseline_torch_cpu"] = round(
+        pps / baseline["pages_per_sec"], 2
+    )
     print(json.dumps(result))
     return 0
 

@@ -42,6 +42,14 @@ def main(argv=None) -> int:
     ap.add_argument("--train-degrade", type=float, default=0.0,
                     help="max ink-dropout/speckle augmentation level on "
                          "recognizer training strips (per-sample U(0, max))")
+    ap.add_argument("--train-shear", type=float, default=0.0,
+                    help="max rotation (deg) augmentation on training "
+                         "strips — sub-deskew-threshold page shear reaches "
+                         "the recognizer uncorrected")
+    ap.add_argument("--train-curve", type=float, default=0.0,
+                    help="max vertical-sine amplitude (px) augmentation on "
+                         "training strips — sub-TPS-gate curvature reaches "
+                         "the recognizer uncorrected")
     ap.add_argument("--eval-suite", action="store_true",
                     help="evaluate across 5 distributions (clean, degrade "
                          "0.3/0.6, shear, curve+TPS) round-robin over "
@@ -205,6 +213,8 @@ def main(argv=None) -> int:
                 rng, glyphs, charset, args.rec_batch,
                 input_height=80, width=args.canvas_width,
                 degrade_max=args.train_degrade,
+                shear_max_deg=args.train_shear,
+                curve_max_amp=args.train_curve,
             )
             state, loss = rec_step(state, batch)
             if (i + 1) % args.log_every == 0 or i == 0:

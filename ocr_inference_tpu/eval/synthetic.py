@@ -424,13 +424,21 @@ def recognizer_batch(
     n_syllables: tuple[int, int] = (4, 10),
     syllable_len: tuple[int, int] = (1, 4),
     degrade_max: float = 0.0,
+    shear_max_deg: float = 0.0,
+    curve_max_amp: float = 0.0,
 ) -> dict:
     """CTC training batch in the RecognitionEngine's exact input
     representation: strips -> pad_ocr_line canvas -> grayscale -> cv2
     adaptive threshold -> {-1, +1} (pipeline/engines.py _prepare_host +
     _forward_fn). ``degrade_max`` > 0 applies ink-dropout/speckle
     augmentation at a per-sample level ~ U(0, degrade_max), matching the
-    eval suite's degraded distributions."""
+    eval suite's degraded distributions. ``shear_max_deg``/``curve_max_amp``
+    add per-sample geometric augmentation (rotation ~ U(0, max) with random
+    sign, vertical sine ~ U(0, max) px): pages rotated within the pipeline's
+    0.5° deskew threshold and curved below the TPS gate reach the
+    recognizer undistorted-by-correction, so the net itself must absorb
+    them (round-4 eval: an unaugmented recognizer scored CER ~0.5-0.7 on
+    exactly-threshold shear/curve pages while clean pages scored 0.0)."""
     from ocr_inference_tpu.core.config import BINARIZE_BLOCK, BINARIZE_C
     from ocr_inference_tpu.pipeline.engines import pad_ocr_line_host
 
@@ -455,6 +463,12 @@ def recognizer_batch(
                 rng, glyphs, charset, tokens=tokens
             )
             scale = input_height / strip.shape[0]
+        if shear_max_deg > 0 or curve_max_amp > 0:
+            strip = distort_page(
+                strip, rng,
+                shear_deg=float(rng.uniform(0.0, shear_max_deg)),
+                curve_amp=float(rng.uniform(0.0, curve_max_amp)),
+            )
         if degrade_max > 0:
             strip = degrade_page(
                 strip, rng, float(rng.uniform(0.0, degrade_max))

@@ -98,6 +98,11 @@ def main(argv=None) -> int:
                     help="reuse only recognizer.msgpack from DIR: skip "
                          "recognizer training, still train the UNet "
                          "(detector-variant experiments)")
+    ap.add_argument("--resume-rec", default=None,
+                    help="initialize recognizer training from DIR's "
+                         "recognizer.msgpack and CONTINUE for --rec-steps "
+                         "(fine-tuning, e.g. to add an augmentation "
+                         "without a from-scratch retrain)")
     ap.add_argument("--weights-seg", default=None,
                     help="reuse only lines.msgpack from DIR: skip UNet "
                          "training, still train the recognizer (the "
@@ -198,6 +203,17 @@ def main(argv=None) -> int:
         log(f"[rec] reusing {src} (recognizer training skipped)")
     else:
         t0 = time.perf_counter()
+        if args.resume_rec:
+            from ocr_inference_tpu.models.params import load_meta
+
+            rec_meta = load_meta(
+                Path(args.resume_rec) / "recognizer.msgpack"
+            ) or {}
+            if rec_meta.get("charset"):
+                charset = tuple(rec_meta["charset"])
+                glyphs = GlyphSet(charset=charset,
+                                  height=args.glyph_height, seed=7)
+                vocab = len(charset) + 1
         rec_model = build_recognizer("Easter2", vocab)
         rec_opt = make_optimizer(args.lr, total_steps=args.rec_steps,
                                  warmup_steps=min(100, args.rec_steps // 5))
@@ -205,6 +221,18 @@ def main(argv=None) -> int:
             rec_model, rec_opt, input_height=80, width=args.canvas_width,
             seed=args.seed,
         )
+        if args.resume_rec:
+            from ocr_inference_tpu.models.params import load_params
+
+            src = Path(args.resume_rec) / "recognizer.msgpack"
+            loaded = load_params(
+                {"params": rec_state.params,
+                 "batch_stats": rec_state.batch_stats},
+                src,
+            )
+            rec_state.params = loaded["params"]
+            rec_state.batch_stats = loaded["batch_stats"]
+            log(f"[rec] fine-tuning from {src}")
         rec_step = make_train_step(rec_model, rec_opt)
         state = rec_state.as_tuple()
         rec_loss = float("nan")

@@ -347,6 +347,8 @@ def extraction_matched_strip(
     tokens: list[str] | None = None,
     n_syllables: tuple[int, int] = (4, 10),
     syllable_len: tuple[int, int] = (1, 4),
+    shear_deg: float = 0.0,
+    curve_amp: float = 0.0,
 ) -> tuple[np.ndarray, list[str]]:
     """One recognizer training sample produced by the REAL strip-extraction
     path: the target line rendered in page context (neighbour lines above
@@ -398,6 +400,17 @@ def extraction_matched_strip(
     elif target == 2:
         canvas = canvas[pitch:]
         y_t -= pitch
+    if shear_deg > 0 or curve_amp > 0:
+        # distort the page-context canvas BEFORE extraction — exactly where
+        # eval-page distortion happens. Post-extraction strip distortion is
+        # WRONG twice over: it clips ink off the tight strip, and it misses
+        # the real effect of curvature on the pipeline (taller dilated
+        # strips -> stronger downscale in pad_ocr_line -> smaller glyphs,
+        # neighbor ink entering the dilated mask), which is what the
+        # recognizer actually faces (round-4 curve-page strips measured
+        # ~220 px tall vs ~120 flat).
+        canvas = distort_page(canvas, rng, shear_deg=shear_deg,
+                              curve_amp=curve_amp)
     contour = np.array(
         [[[x_t, y_t]], [[x_t + sw - 1, y_t]],
          [[x_t + sw - 1, y_t + sh - 1]], [[x_t, y_t + sh - 1]]],
@@ -446,29 +459,28 @@ def recognizer_batch(
     labels = np.zeros((batch, max_label), np.int32)
     label_lengths = np.zeros((batch,), np.int32)
     for b in range(batch):
+        sd = float(rng.uniform(0.0, shear_max_deg)) if shear_max_deg else 0.0
+        ca = float(rng.uniform(0.0, curve_max_amp)) if curve_max_amp else 0.0
         strip, tokens = extraction_matched_strip(
             rng, glyphs, charset,
             n_syllables=n_syllables, syllable_len=syllable_len,
+            shear_deg=sd, curve_amp=ca,
         )
         if len(tokens) > max_label:
             tokens = tokens[: max_label - 1]
             strip, _ = extraction_matched_strip(
-                rng, glyphs, charset, tokens=tokens
+                rng, glyphs, charset, tokens=tokens,
+                shear_deg=sd, curve_amp=ca,
             )
         # keep the scaled width within the canvas
         scale = input_height / strip.shape[0]
         while strip.shape[1] * scale > width and len(tokens) > 2:
             tokens = tokens[: max(len(tokens) - 2, 2)]
             strip, _ = extraction_matched_strip(
-                rng, glyphs, charset, tokens=tokens
+                rng, glyphs, charset, tokens=tokens,
+                shear_deg=sd, curve_amp=ca,
             )
             scale = input_height / strip.shape[0]
-        if shear_max_deg > 0 or curve_max_amp > 0:
-            strip = distort_page(
-                strip, rng,
-                shear_deg=float(rng.uniform(0.0, shear_max_deg)),
-                curve_amp=float(rng.uniform(0.0, curve_max_amp)),
-            )
         if degrade_max > 0:
             strip = degrade_page(
                 strip, rng, float(rng.uniform(0.0, degrade_max))

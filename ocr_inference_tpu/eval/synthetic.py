@@ -411,13 +411,23 @@ def extraction_matched_strip(
         # ~220 px tall vs ~120 flat).
         canvas = distort_page(canvas, rng, shear_deg=shear_deg,
                               curve_amp=curve_amp)
+    # the contour must cover the DISPLACED ink, as a detection contour
+    # would: curvature moves ink by up to +/-amp and shear by up to
+    # w*sin(deg), so the detected bbox of a curved line is taller — and the
+    # k*bbox_h dilation then produces proportionally taller strips (the
+    # eval-time scale distribution the recognizer must match; round-4
+    # measured ~220 px curve-page strips vs ~150 flat)
+    grow = int(np.ceil(curve_amp + sw * np.sin(np.radians(shear_deg)) / 2))
+    y0 = max(y_t - grow, 0)
+    y1 = min(y_t + sh - 1 + grow, canvas.shape[0] - 1)
     contour = np.array(
-        [[[x_t, y_t]], [[x_t + sw - 1, y_t]],
-         [[x_t + sw - 1, y_t + sh - 1]], [[x_t, y_t + sh - 1]]],
+        [[[x_t, y0]], [[x_t + sw - 1, y0]],
+         [[x_t + sw - 1, y1]], [[x_t, y1]]],
         dtype=np.int32,
     )
     img, _ = get_line_image(
-        canvas, contour, sh, bbox_tolerance=bbox_tolerance, k_factor=k_factor
+        canvas, contour, y1 - y0 + 1,
+        bbox_tolerance=bbox_tolerance, k_factor=k_factor,
     )
     return img, tokens
 

@@ -50,11 +50,19 @@ def main(argv=None) -> int:
                     help="max vertical-sine amplitude (px) augmentation on "
                          "training strips — sub-TPS-gate curvature reaches "
                          "the recognizer uncorrected")
+    ap.add_argument("--train-geo-prob", type=float, default=1.0,
+                    help="probability a training sample receives the "
+                         "geometric (shear/curve) augmentation at all; the "
+                         "rest stay flat-geometry (degrade still applies). "
+                         "<1 is the distribution-balanced curriculum that "
+                         "keeps clean-page CER from regressing (VERDICT r4 "
+                         "item 2)")
     ap.add_argument("--eval-suite", action="store_true",
-                    help="evaluate across 5 distributions (clean, degrade "
-                         "0.3/0.6, shear, curve+TPS) round-robin over "
-                         "--eval-pages, with per-distribution CER and a "
-                         "bootstrap 95%% CI on the pooled CER")
+                    help="evaluate across 6 distributions (clean, degrade "
+                         "0.3/0.6, shear 0.5°, skew 2°, curve+TPS) "
+                         "round-robin over --eval-pages, with "
+                         "per-distribution CER and a bootstrap 95%% CI on "
+                         "the pooled CER")
     ap.add_argument("--glyph-height", type=int, default=40)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--lr", type=float, default=3e-4)
@@ -243,6 +251,7 @@ def main(argv=None) -> int:
                 degrade_max=args.train_degrade,
                 shear_max_deg=args.train_shear,
                 curve_max_amp=args.train_curve,
+                geo_prob=args.train_geo_prob,
             )
             state, loss = rec_step(state, batch)
             if (i + 1) % args.log_every == 0 or i == 0:
@@ -250,8 +259,27 @@ def main(argv=None) -> int:
                 log(f"[rec] step {i + 1}/{args.rec_steps} loss {rec_loss:.4f}")
         rec_loss = float(loss)
         rec_vars = {"params": state[0], "batch_stats": state[1]}
+        # training provenance travels in the sidecar so eval records are
+        # generated from code, never hand-edited (VERDICT r4 item 9)
+        rec_train_meta = {
+            "architecture": "Easter2",
+            "charset": list(charset),
+            "trained_steps": args.rec_steps,
+            "train_degrade": args.train_degrade,
+            "train_shear": args.train_shear,
+            "train_curve": args.train_curve,
+            "train_geo_prob": args.train_geo_prob,
+        }
+        if args.resume_rec:
+            rec_train_meta["resumed_from"] = str(args.resume_rec)
+            prior = load_meta(
+                Path(args.resume_rec) / "recognizer.msgpack"
+            ) or {}
+            lineage = {k: v for k, v in prior.items() if k != "charset"}
+            if lineage:
+                rec_train_meta["resumed_from_meta"] = lineage
         save_params(rec_vars, out / "recognizer.msgpack",
-                    meta={"architecture": "Easter2", "charset": list(charset)})
+                    meta=rec_train_meta)
         log(f"[rec] trained in {time.perf_counter() - t0:.1f}s; "
             f"loss {rec_loss:.4f}")
 
@@ -452,6 +480,13 @@ def _run_eval(args, out, charset, glyphs, rec_loss, seg_loss,
             ("degrade_03", 0.3, 0.0, 0.0, False),
             ("degrade_06", 0.6, 0.0, 0.0, False),
             ("shear_05", 0.0, 0.5, 0.0, False),
+            # 2° page rotation exceeds the 0.5° deskew threshold
+            # (geometry/lines.py build_raw_line_data), so this distribution
+            # exercises get_rotation_angle + rotate + re-extract END TO END
+            # — the one pipeline stage no CER number covered before round 5
+            # (VERDICT r4 item 5; reference deskew:
+            # BDRC/line_detection.py:107-185)
+            ("skew_2deg", 0.0, 2.0, 0.0, False),
             ("curve_tps", 0.0, 0.0, 10.0, True),
         ]
         dist_preds: dict[str, list[str]] = {n: [] for n, *_ in suite}
@@ -517,6 +552,52 @@ def _run_eval(args, out, charset, glyphs, rec_loss, seg_loss,
     total_cer = cer(preds, refs)
     eval_s = time.perf_counter() - t0
 
+    # Provenance is GENERATED from the weight sidecars + the args that ran,
+    # never hand-written (VERDICT r4 item 9: EVAL_r04 shipped an
+    # unformatted "%d fine-tune steps" template from a hand-edited record).
+    from ocr_inference_tpu.models.params import load_meta as _load_meta
+
+    seg_meta = _load_meta(out / "lines.msgpack") or {}
+    rec_meta = _load_meta(out / "recognizer.msgpack") or {}
+
+    def _describe_recognizer(meta: dict) -> str:
+        arch = meta.get("architecture", "Easter2")
+        parts = [f"{arch}, {len(charset)}-unit Wylie charset"]
+        steps = meta.get("trained_steps")
+        if steps is not None:
+            parts.append(f"{steps} steps")
+        augs = []
+        if meta.get("train_degrade"):
+            augs.append(f"degrade U(0,{meta['train_degrade']:g})")
+        if meta.get("train_shear") or meta.get("train_curve"):
+            gp = meta.get("train_geo_prob", 1.0)
+            augs.append(
+                f"shear<={meta.get('train_shear', 0):g}deg/"
+                f"curve<={meta.get('train_curve', 0):g}px"
+                + (f" at p={gp:g}" if gp is not None and gp < 1.0 else "")
+            )
+        if augs:
+            parts.append("aug: " + " + ".join(augs))
+        if meta.get("resumed_from"):
+            parts.append(f"fine-tuned from {meta['resumed_from']}")
+        return ", ".join(parts)
+
+    provenance = {
+        "detector": (
+            f"{seg_meta.get('architecture', 'unet')} "
+            f"width={seg_meta.get('width', args.unet_width)} "
+            f"stem_stride={seg_meta.get('stem_stride', 1)} "
+            f"({out / 'lines.msgpack'})"
+        ),
+        "recognizer": (
+            _describe_recognizer(rec_meta)
+            + f" ({out / 'recognizer.msgpack'})"
+        ),
+        "recognizer_meta": {
+            k: v for k, v in rec_meta.items() if k != "charset"
+        },
+    }
+
     result = {
         "cer": round(total_cer, 5),
         "pages": args.eval_pages,
@@ -530,6 +611,7 @@ def _run_eval(args, out, charset, glyphs, rec_loss, seg_loss,
         "per_page_cer": per_page,
         "charset_size": len(charset),
         "backend": jax.default_backend(),
+        "provenance": provenance,
     }
     if suite is not None:
         from ocr_inference_tpu.eval.cer import cer_bootstrap_ci

@@ -177,12 +177,16 @@ def _percentile(sorted_vals: list[float], q: float) -> float:
     return sorted_vals[i]
 
 
-def _export_page(rec, exporters) -> None:
+def _export_page(rec, exporters) -> bool:
     """Per-page PageXML + text export inside the timed loop — the BASELINE
     config-4 spec exports with the reference's per-page granularity
     (reference: BDRC/pipeline.py:168-171). Clears the page's full-page mask
     afterwards: retaining ~4.2 MB of mask per record was the bulk of the r3
-    soak's RSS growth (+1.9 GB over 96 pages x 2 runs)."""
+    soak's RSS growth (+1.9 GB over 96 pages x 2 runs).
+
+    Returns False on an export failure instead of raising: one malformed
+    page or disk error must be recorded and skipped, not abort a 500-page
+    soak partway (round-4 advisory, ADVICE.md)."""
     page_exp, text_exp = exporters
     try:
         if rec.mask is not None and rec.ocr_lines:
@@ -191,8 +195,13 @@ def _export_page(rec, exporters) -> None:
                 angle=rec.angle,
             )
             text_exp.export_lines(None, rec.name, rec.lines, rec.ocr_lines)
+    except Exception as e:
+        print(f"bench: export failed for {rec.name}: {e}",
+              file=sys.stderr, flush=True)
+        return False
     finally:
         rec.mask = None
+    return True
 
 
 def run_volume(pipeline, pages, per_line: bool = False, use_tps: bool = False,
@@ -248,6 +257,10 @@ def run_volume(pipeline, pages, per_line: bool = False, use_tps: bool = False,
     # steady state, not first-process compiles
     warm = pages[: min(len(pages), 24)]
     runner.run([(f"w{i}", p) for i, p in enumerate(warm)], use_tps=use_tps)
+    # ...then the full streaming shape set ({pow2, quantum} x buckets), so
+    # the timed soak compiles NOTHING (jit_cache end == start — r4 measured
+    # rec_fwd growing 9 -> 15 mid-soak)
+    pipeline.ocr_inference.warm_shapes()
 
     import contextlib
 
@@ -260,6 +273,10 @@ def run_volume(pipeline, pages, per_line: bool = False, use_tps: bool = False,
     )
     rss_start = _rss_mb()
     jit_start = _jit_cache_sizes(pipeline)
+    # live jax.Array count isolates the leak family: flat here + rising RSS
+    # = host-side (allocator churn / relay client bookkeeping), rising here
+    # = device-buffer retention in the pipeline
+    live_start = len(jax.live_arrays())
     pipeline.ocr_inference.occupancy.clear()
 
     total = total_pages or len(pages)
@@ -275,14 +292,17 @@ def run_volume(pipeline, pages, per_line: bool = False, use_tps: bool = False,
     window_tputs: list[float] = []
     rss_curve: list[float] = []
     total_elapsed = 0.0
+    export_errors = 0
     results = []
     with trace:
         for _ in range(timed_runs):
             done_ts: list[float] = []
 
             def page_done(rec):
+                nonlocal export_errors
                 if exporters is not None:
-                    _export_page(rec, exporters)
+                    if not _export_page(rec, exporters):
+                        export_errors += 1
                 else:
                     rec.mask = None
                 done_ts.append(time.perf_counter())
@@ -349,6 +369,9 @@ def run_volume(pipeline, pages, per_line: bool = False, use_tps: bool = False,
         # plateau (or leak) is visible directly, not just start/end
         "rss_curve_mb": [round(v, 1) for v in rss_curve],
         "jit_cache": {"start": jit_start, "end": _jit_cache_sizes(pipeline)},
+        "live_arrays": {"start": live_start, "end": len(jax.live_arrays())},
+        # relay-phase-adaptive dispatch record (VolumeRunner.__init__)
+        "adaptive": runner.adaptive,
     }
     if exporters is not None:
         import glob as _glob
@@ -356,6 +379,7 @@ def run_volume(pipeline, pages, per_line: bool = False, use_tps: bool = False,
         telemetry["exports"] = {
             "xml": len(_glob.glob(os.path.join(export_dir, "*.xml"))),
             "txt": len(_glob.glob(os.path.join(export_dir, "*.txt"))),
+            "errors": export_errors,
         }
     pps = telemetry["timing"]["median"]
     return pps, pps * n_lines / total, stage_ms, telemetry
@@ -457,6 +481,7 @@ def run_serve_bench(n_requests: int, rate_rps: float | None = None) -> dict:
 
         arrival: dict[str, float] = {}
         done: dict[str, float] = {}
+        shed: dict[str, float] = {}
         bursts: list[int] = []
 
         rng = np.random.default_rng(123)
@@ -477,6 +502,11 @@ def run_serve_bench(n_requests: int, rate_rps: float | None = None) -> dict:
             done[rec.name] = time.perf_counter()
 
         def emit_error(obj):
+            # overload shedding is a VALID protocol response (429-style,
+            # serve_cli.serve_loop max_queue) — recorded, not fatal
+            if obj.get("status") == "shed":
+                shed[obj["image"]] = time.perf_counter()
+                return
             raise AssertionError(f"serve error response: {obj}")
 
         real_run = runner.run
@@ -489,18 +519,29 @@ def run_serve_bench(n_requests: int, rate_rps: float | None = None) -> dict:
         runner.run = counted_run
         t = threading.Thread(target=feeder, daemon=True)
         t.start()
+        max_queue = int(os.environ.get("BENCH_SERVE_MAXQ", "32"))
         serve_loop(runner, _LineReader(fd=r_fd), load, emit, emit_error,
-                   encoding=Encoding.UNICODE)
+                   encoding=Encoding.UNICODE,
+                   max_queue=max_queue if max_queue > 0 else None)
         t.join()
         os.close(r_fd)
 
-    assert len(done) == n_requests, (len(done), n_requests)
-    lats = sorted(done[p] - arrival[p] for p in paths)
+    assert len(done) + len(shed) == n_requests, (
+        len(done), len(shed), n_requests
+    )
+    # latency percentiles cover ACCEPTED requests; sheds answer in ~0 time
+    # by design and are reported via shed_rate (VERDICT r4 item 6: the
+    # overload criterion is p90 of accepted <= 2x p50, sheds disclosed)
+    lats = sorted(done[p] - arrival[p] for p in paths if p in done)
     span = max(done.values()) - min(arrival.values())
     return {
-        "serve_pages_per_sec": round(n_requests / span, 3),
+        "serve_pages_per_sec": round(len(done) / span, 3),
         "request_rate_rps": rate_rps,
         "requests": n_requests,
+        "accepted": len(done),
+        "shed": len(shed),
+        "shed_rate": round(len(shed) / n_requests, 3),
+        "max_queue": max_queue,
         "latency_s": {
             "p50": round(_percentile(lats, 0.5), 3),
             "p90": round(_percentile(lats, 0.9), 3),
@@ -738,22 +779,21 @@ def main(argv=None):
 
     enable_compilation_cache()
 
-    # CPU-side baseline measurement runs BEFORE the watchdog is armed: a
-    # fresh environment (BASELINE_MEASURED.json deleted to re-measure) spends
-    # ~30+ min in the torch-cpu per-line loop, which must not count against
-    # the backend-init budget (round-3 advisory).
-    baselines = load_baselines()
-    baseline = baselines["torch_cpu"]
-
-    # Backend-init watchdog: a wedged axon relay hangs jax.devices()
+    # Backend-init watchdog: a wedged axon relay hangs the first PJRT touch
     # FOREVER (observed: relay process alive + listening but upstream
     # stdio pump dead — zero bytes flow, client blocks in PJRT init with
     # no timeout). Exiting non-zero lets the caller's retry loop take a
     # second attempt / surface the infra failure instead of stalling.
-    # Scope: ONLY the first PJRT touch below. probe_pallas runs out of
-    # process with its own 900s bound (a hung Mosaic compile degrades to
-    # Pallas-off, it must not hard-kill the bench), so the watchdog is
-    # armed around jax.devices() alone.
+    # Scope: EVERY first PJRT touch (device enumeration for both backends)
+    # happens inside this guard, and nothing else: the torch-cpu baseline
+    # loop (~30+ min, never touches PJRT) and the xla_cpu baseline
+    # measurement (minutes of legitimate CPU compute on an
+    # already-initialized backend) run AFTER init_done — the round-4
+    # advisory found measure_baseline()'s jax.local_devices() could become
+    # the first, unguarded PJRT touch when the baseline cache was missing.
+    # probe_pallas runs out of process with its own 900s bound (a hung
+    # Mosaic compile degrades to Pallas-off, it must not hard-kill the
+    # bench).
     import threading
 
     init_done = threading.Event()
@@ -773,7 +813,11 @@ def main(argv=None):
     import jax
 
     n_dev = len(jax.devices())
+    jax.local_devices(backend="cpu")  # CPU-backend init, same guard
     init_done.set()
+
+    baselines = load_baselines()
+    baseline = baselines["torch_cpu"]
 
     # enable the fused Pallas image kernels when the chip compiles them
     # (one bounded out-of-process probe; persists via marker + XLA cache)

@@ -146,13 +146,21 @@ def _parse_request(raw: str, emit_error):
 
 def serve_loop(runner, reader: _LineReader, load, emit, emit_error, *,
                encoding, use_tps: bool = False, k_factor: float = 2.5,
-               bbox_tolerance: float = 4.0) -> None:
+               bbox_tolerance: float = 4.0,
+               max_queue: int | None = 32) -> None:
     """The serving loop proper: each iteration serves one burst — the
     blocking read plus whatever is already queued (dynamic batching); a
     single-image request with an idle stream answers immediately, a burst
     flows through the batched volume path. Engines + jit caches stay warm
     across requests. A blank line or EOF — including one arriving
     mid-drain — ends the session after its batch is served.
+
+    ``max_queue`` is the overload control (VERDICT r4 item 6: an open-loop
+    stream past saturation grew the drain burst — and so p90 latency —
+    without bound). Each burst admits at most max_queue pages; the rest are
+    SHED immediately with a 429-style JSONL error, so the latency of
+    accepted requests stays bounded by one burst's service time instead of
+    the whole backlog's. None disables shedding.
 
     Factored out of main() so the serve benchmark (bench.py config 6) can
     drive the identical loop over an os.pipe request stream."""
@@ -169,6 +177,19 @@ def serve_loop(runner, reader: _LineReader, load, emit, emit_error, *,
                 batch_paths.extend(paths)
         if not batch_paths:
             continue
+        if max_queue is not None and len(batch_paths) > max_queue:
+            for p in batch_paths[max_queue:]:
+                emit_error({
+                    "image": p,
+                    "status": "shed",
+                    "code": 429,
+                    "error": (
+                        "server overloaded: burst queue full "
+                        f"({len(batch_paths)} queued > max_queue="
+                        f"{max_queue}); retry later"
+                    ),
+                })
+            batch_paths = batch_paths[:max_queue]
         runner.run(
             [(p, load(p)) for p in batch_paths],
             target_encoding=encoding,
@@ -210,6 +231,10 @@ def main(argv=None) -> int:
     parser.add_argument("--window-pages", type=int, default=4,
                         help="Pages batched per recognition window (smaller "
                              "= lower latency, larger = higher throughput)")
+    parser.add_argument("--max-queue", type=int, default=32,
+                        help="Overload control: max pages admitted per "
+                             "burst; overflow is shed immediately with a "
+                             "429-style JSONL error (0 disables shedding)")
     parser.add_argument("--allow-random-weights", action="store_true")
     args = parser.parse_args(argv)
 
@@ -260,6 +285,7 @@ def main(argv=None) -> int:
         use_tps=args.dewarp,
         k_factor=args.k_factor,
         bbox_tolerance=args.bbox_tolerance,
+        max_queue=args.max_queue if args.max_queue > 0 else None,
     )
     return 0
 

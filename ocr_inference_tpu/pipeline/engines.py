@@ -73,7 +73,13 @@ def _h2d_bandwidth_mbps() -> float:
 
         buf = np.zeros((4 * 1024 * 1024,), np.uint8)
         consume = jax.jit(lambda x: jnp.sum(x[:: 65536].astype(jnp.int32)))
-        float(consume(jax.device_put(buf)))  # warm the compile
+        # warm BOTH shapes' compiles before timing anything: an unwarmed
+        # (64,)-shape call would put its XLA compile (minutes cold over the
+        # axon tunnel) into rtt, clamping dt to the 1e-4 floor and reporting
+        # ~40 GB/s — disabling packed uploads exactly on the slow transports
+        # the probe exists to detect (round-4 advisory, ADVICE.md)
+        float(consume(jax.device_put(buf)))
+        float(consume(jax.device_put(buf[:64])))
         t0 = time.perf_counter()
         float(consume(jax.device_put(buf[:64])))
         rtt = time.perf_counter() - t0
@@ -84,6 +90,40 @@ def _h2d_bandwidth_mbps() -> float:
     except Exception:
         _H2D_MBPS = 1e9  # probe failed: assume fast, keep uploads simple
     return _H2D_MBPS
+
+
+class _HostBufferPool:
+    """Recycled host-side upload buffers.
+
+    The round-4 500-page soak leaked ~5.5 MB RSS/page; docs/PERFORMANCE.md
+    attributes it to the axon relay client's per-transfer bookkeeping on
+    ever-fresh host buffers (the soak cycles 96 page arrays by reference,
+    but every page built NEW packed-tile upload arrays). Reusing the same
+    buffer identities per page geometry caps that growth. Buffers recycle
+    only AFTER the page's device chain resolved (the packed-mask D2H
+    implies every upstream H2D completed), so reuse is safe even if the
+    transport stages uploads asynchronously."""
+
+    MAX_FREE = 16  # per key; in-flight depth is bounded by detect_ahead
+
+    def __init__(self):
+        import threading
+
+        self._free: dict = {}
+        self._lock = threading.Lock()
+
+    def acquire(self, key, shape, dtype) -> np.ndarray:
+        with self._lock:
+            lst = self._free.get(key)
+            if lst:
+                return lst.pop()
+        return np.empty(shape, dtype)
+
+    def release(self, key, buf: np.ndarray) -> None:
+        with self._lock:
+            lst = self._free.setdefault(key, [])
+            if len(lst) < self.MAX_FREE:
+                lst.append(buf)
 
 
 class _ShapeLRU:
@@ -189,6 +229,7 @@ class SegmentationEngine:
         self.fused_page = fused_page
         self._pre_cache = _ShapeLRU()
         self._post_cache = _ShapeLRU()
+        self._upload_pool = _HostBufferPool()
 
         if mesh is not None:
             # DP: tile batch split over the data axis (a sharding constraint
@@ -265,7 +306,13 @@ class SegmentationEngine:
         """Host half of the packed-input path: pad-255, tile, binarize each
         tile with cv2 (the reference binarizes per tile, inference.py:132-139),
         pack to int32 words. 8x less H2D traffic than the uint8 gray page —
-        the page upload dominates detection cost over slow transports."""
+        the page upload dominates detection cost over slow transports.
+
+        Returns (pool_key, packed_buffer): the upload array comes from the
+        engine's recycled buffer pool (see _HostBufferPool — fresh
+        per-transfer buffers were the leading suspect of the r4 soak's RSS
+        leak); the caller must release it once the page's device chain has
+        resolved."""
         from ocr_inference_tpu.core.config import BINARIZE_BLOCK, BINARIZE_C
 
         p = self.patch_size
@@ -283,7 +330,11 @@ class SegmentationEngine:
                 cv2.ADAPTIVE_THRESH_GAUSSIAN_C, cv2.THRESH_BINARY,
                 BINARIZE_BLOCK, BINARIZE_C, dst=bw[i],
             )
-        return packing.pack_bits_host(bw)
+        packed = packing.pack_bits_host(bw)
+        key = ("packed_tiles", packed.shape)
+        buf = self._upload_pool.acquire(key, packed.shape, packed.dtype)
+        np.copyto(buf, packed)
+        return key, buf
 
     @staticmethod
     def _open_horizontal(mask: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -415,14 +466,19 @@ class SegmentationEngine:
         return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
 
     def _dispatch_tiles(self, image: np.ndarray):
-        """Host prep + async device pre for one page -> (plan, tiles).
+        """Host prep + async device pre for one page ->
+        (plan, tiles, release).
 
         When the plan has no resize, grayscale on host (bit-exact with the
         device op) and — with pack_input — binarize on host too, so the page
         uploads as packed bits (8x less H2D than uint8 gray). With a resize,
         channel order matters (gray-of-resized != resized-gray by +/-1
         fixed-point counts), so RGB goes up unchanged and everything runs on
-        device."""
+        device.
+
+        ``release`` (may be None) returns the page's pooled upload buffer;
+        the caller must invoke it once the page's device chain resolved
+        (the mask resolver does)."""
         h, w = image.shape[:2]
         plan = tiling.plan_page(h, w, self.patch_size)
         arr = np.asarray(image)
@@ -430,16 +486,24 @@ class SegmentationEngine:
             arr.ndim == 3
             and (plan.resized_h, plan.resized_w) == (plan.orig_h, plan.orig_w)
         )
+        release = None
         if gray_input and self.pack_input:
             gray = cv2.cvtColor(arr, cv2.COLOR_RGB2GRAY)
-            tiles = self._pre_packed_fn(plan)(self._pack_tiles_host(gray, plan))
+            key, buf = self._pack_tiles_host(gray, plan)
+            release = lambda: self._upload_pool.release(key, buf)  # noqa: E731
+            tiles = self._pre_packed_fn(plan)(buf)
         else:
             if gray_input:
-                arr = cv2.cvtColor(arr, cv2.COLOR_RGB2GRAY)[..., None]
+                gray = cv2.cvtColor(arr, cv2.COLOR_RGB2GRAY)[..., None]
+                key = ("gray_page", gray.shape)
+                buf = self._upload_pool.acquire(key, gray.shape, gray.dtype)
+                np.copyto(buf, gray)
+                release = lambda: self._upload_pool.release(key, buf)  # noqa: E731
+                arr = buf
             # numpy input stays uncommitted, so the same call works whether
             # the pre program runs on one device or a mesh
             tiles = self._pre_fn(plan, gray_input)(arr)
-        return plan, tiles
+        return plan, tiles, release
 
     # -- public API --
 
@@ -472,19 +536,24 @@ class SegmentationEngine:
                 self.variables, arr
             )
             return self._mask_resolver(packed_dev, w)
-        plan, tiles = self._dispatch_tiles(image)
+        plan, tiles, release = self._dispatch_tiles(image)
         logits = self._run_tiles(tiles)
         n_classes = logits.shape[-1]
         packed_dev = self._post_fn(plan, class_threshold, n_classes)(logits)
-        return self._mask_resolver(packed_dev, image.shape[1])
+        return self._mask_resolver(packed_dev, image.shape[1], release)
 
-    def _mask_resolver(self, packed_dev, w: int):
+    def _mask_resolver(self, packed_dev, w: int, release=None):
         """Zero-arg resolver for a dispatched bit-packed mask; its D2H of
         the packed words (32x less traffic than uint8) is the only blocking
-        point of the whole detection chain."""
+        point of the whole detection chain. Recycles the page's pooled
+        upload buffer once the chain has provably consumed it."""
 
         def resolve():
-            bits = packing.unpack_mask(np.asarray(packed_dev), w)
+            try:
+                bits = packing.unpack_mask(np.asarray(packed_dev), w)
+            finally:
+                if release is not None:
+                    release()
             if self.mode == "line":
                 return (bits * 255).astype(np.uint8)
             # (C, H, W) -> (H, W, C)
@@ -516,10 +585,12 @@ class SegmentationEngine:
             class_threshold = 0.9 if self.mode == "line" else 0.8
         plans = []
         stacks = []
+        releases = []
         for image in images:
-            plan, tiles = self._dispatch_tiles(image)
+            plan, tiles, release = self._dispatch_tiles(image)
             plans.append(plan)
             stacks.append(tiles)
+            releases.append(release)
         all_logits = self._run_tiles(
             stacks[0] if len(stacks) == 1 else jnp.concatenate(stacks)
         )
@@ -527,13 +598,15 @@ class SegmentationEngine:
 
         resolvers = []
         start = 0
-        for image, plan in zip(images, plans):
+        for image, plan, release in zip(images, plans, releases):
             logits = all_logits[start : start + plan.n_tiles]
             start += plan.n_tiles
             packed_dev = self._post_fn(plan, class_threshold, n_classes)(
                 logits
             )
-            resolvers.append(self._mask_resolver(packed_dev, image.shape[1]))
+            resolvers.append(
+                self._mask_resolver(packed_dev, image.shape[1], release)
+            )
         return resolvers
 
     def predict_many_batched(
@@ -566,6 +639,17 @@ class SegmentationEngine:
 # ---------------------------------------------------------------------------
 # Recognition
 # ---------------------------------------------------------------------------
+
+class StreamState:
+    """Cross-call carry for RecognitionEngine's streaming API: prepared
+    line canvases grouped by width bucket, each tagged with the caller's
+    token. Owned by one consumer thread (VolumeRunner's flush worker)."""
+
+    def __init__(self):
+        self.by_width: dict[int, list] = {}
+
+    def pending(self) -> int:
+        return sum(len(v) for v in self.by_width.values())
 
 def pad_ocr_line_host(
     img: np.ndarray,
@@ -649,6 +733,12 @@ class RecognitionEngine:
         # (bucket_width, real_lines, padded_batch) -> count; filled by
         # _batch_iter so volume runs can report real device occupancy
         self.occupancy: dict[tuple[int, int, int], int] = {}
+        # persistent per-shape upload buffers (see _fill_upload): fresh
+        # host buffers per transfer were the r4 soak-leak suspect. Safe
+        # because recognition is single-consumer and every forward blocks
+        # on its result (np.asarray) before the shape can be reused.
+        self._upload_bufs: dict = {}
+        self._packed_bufs: dict = {}
 
     # buckets never exceed the model's trained input width
     def _buckets(self) -> tuple[int, ...]:
@@ -741,6 +831,33 @@ class RecognitionEngine:
 
         return self._fwd_cache.get(key, build)
 
+    def _fill_upload(self, width: int, canvases, padded_b: int) -> np.ndarray:
+        """The (padded_b, H, width) upload array with ``canvases`` in rows
+        [0, n), zero padding after — built in a persistent per-shape buffer
+        (packed to int32 words when pack_input). Reuse is safe because
+        recognition is single-consumer and every forward blocks on its
+        result before the same shape runs again."""
+        key = (padded_b, width)
+        arr = self._upload_bufs.get(key)
+        if arr is None:
+            arr = np.zeros(
+                (padded_b, self.config.input_height, width), np.uint8
+            )
+            self._upload_bufs[key] = arr
+        n = len(canvases)
+        for i, c in enumerate(canvases):
+            arr[i] = c
+        arr[n:].fill(0)
+        if not self.pack_input:
+            return arr
+        packed = packing.pack_bits_host(arr)
+        buf = self._packed_bufs.get(key)
+        if buf is None or buf.shape != packed.shape:
+            buf = np.empty_like(packed)
+            self._packed_bufs[key] = buf
+        np.copyto(buf, packed)
+        return buf
+
     def _batch_iter(self, prepared: list[tuple[int, np.ndarray]]):
         """Group prepared canvases by bucket width; yield fixed-size batches
         (padded with zeros so each (bucket, B) compiles once)."""
@@ -768,13 +885,9 @@ class RecognitionEngine:
                 b = min(b, bmax)
                 # a mesh batch must split evenly over the data axis
                 b = -(-b // self._dp) * self._dp
-                arr = np.zeros(
-                    (b, self.config.input_height, width), np.uint8
+                arr = self._fill_upload(
+                    width, [canvas for _, canvas in chunk], b
                 )
-                for i, (_, canvas) in enumerate(chunk):
-                    arr[i] = canvas
-                if self.pack_input:
-                    arr = packing.pack_bits_host(arr)
                 key = (width, len(chunk), b)
                 self.occupancy[key] = self.occupancy.get(key, 0) + 1
                 yield width, b, [idx for idx, _ in chunk], arr
@@ -945,6 +1058,128 @@ class RecognitionEngine:
                 cer_beam_lm=round(best, 5),
             )
         return report
+
+    # -- streaming recognition (cross-window carry) --
+    #
+    # run_batch pads each bucket's lines to an 8-step batch shape, which
+    # bounds waste but lets EVERY distinct line count compile a new
+    # (bucket, batch) program — BENCH_r04 measured rec_fwd jit entries
+    # growing 9 -> 15 inside the timed soak and 53 batch-1 device calls on
+    # the wide buckets (w2500/w3000 never fill within one window). The
+    # streaming API instead carries under-full buckets ACROSS windows and
+    # restricts every forward to a closed shape set: full batches of
+    # ``quantum`` plus power-of-two remainders — so steady state runs one
+    # shape per bucket, remainders reuse pre-warmed shapes (warm_shapes),
+    # and batch-1 calls only happen for a genuinely lone final line
+    # (VERDICT r4 item 7; reference hot loop: inference.py:630-635).
+
+    STREAM_QUANTUM = 32
+
+    def stream_state(self) -> "StreamState":
+        """Fresh carry state for one streaming run (one volume / serve
+        burst)."""
+        return StreamState()
+
+    def stream_add(self, state: "StreamState", token, line_image: np.ndarray,
+                   pre_pad: bool = False) -> None:
+        """Prepare one line into its width bucket under ``token`` (any
+        hashable caller id); it resolves in a later stream_run."""
+        canvas = self._prepare_host(line_image, pre_pad)
+        state.by_width.setdefault(canvas.shape[1], []).append((token, canvas))
+
+    def _stream_chunk(self, width: int, chunk, padded_b: int) -> dict:
+        """One forward at the fixed (padded_b, width) shape -> token->text."""
+        from ocr_inference_tpu.decode.ctc import ids_to_tokens
+
+        arr = self._fill_upload(
+            width, [canvas for _, canvas in chunk], padded_b
+        )
+        key = (width, len(chunk), padded_b)
+        self.occupancy[key] = self.occupancy.get(key, 0) + 1
+        fn = self._forward_fn(padded_b, width, want_logits=False)
+        ids, lengths, _ = unpack_greedy_host(
+            np.asarray(fn(self.variables, arr))
+        )
+        out = {}
+        for row, (token, _) in enumerate(chunk):
+            toks = ids_to_tokens(
+                ids[row], int(lengths[row]), self.ctc_decoder.charset,
+                self.config.add_blank,
+            )
+            out[token] = "".join(toks)
+        return out
+
+    def _stream_quantum(self, quantum: Optional[int]) -> int:
+        q = quantum or self.STREAM_QUANTUM
+        q = min(q, self.batch_cfg.max_lines_per_batch)
+        return -(-q // self._dp) * self._dp  # mesh batches split evenly
+
+    def stream_run(
+        self,
+        state: "StreamState",
+        final: bool = False,
+        force_tokens=(),
+        quantum: Optional[int] = None,
+    ) -> dict:
+        """Recognize what can run at full occupancy; returns token->text.
+
+        Buckets flush in chunks of ``quantum``; remainders stay carried
+        unless ``final`` or the bucket holds a token in ``force_tokens``
+        (the caller's page-holding bound), in which case the remainder runs
+        at the next power-of-two shape (<= 2x padding on a tail call, zero
+        new shapes beyond the warm set)."""
+        force = set(force_tokens)
+        q = self._stream_quantum(quantum)
+        out: dict = {}
+        for width in sorted(state.by_width):
+            lst = state.by_width[width]
+            flush_all = final or (
+                bool(force) and any(t in force for t, _ in lst)
+            )
+            while len(lst) >= q:
+                chunk = lst[:q]
+                del lst[:q]
+                out.update(self._stream_chunk(width, chunk, q))
+            if flush_all and lst:
+                chunk = lst[:]
+                lst.clear()
+                b = 1
+                while b < len(chunk):
+                    b *= 2
+                b = -(-min(b, q) // self._dp) * self._dp
+                out.update(self._stream_chunk(width, chunk, b))
+        for w in [w for w, lst in state.by_width.items() if not lst]:
+            del state.by_width[w]
+        return out
+
+    def warm_shapes(self, widths=None, quantum: Optional[int] = None) -> int:
+        """Pre-compile (and execute once, on zeros) every forward shape the
+        streaming path can emit — {1, 2, 4, ..., quantum} per bucket — so a
+        timed volume run starts with its full shape set resident
+        (jit-cache end == start, VERDICT r4 item 7). Returns the number of
+        shapes warmed. With the persistent compilation cache only the first
+        process ever pays the compiles."""
+        if widths is None:
+            widths = self._buckets()
+        q = self._stream_quantum(quantum)
+        batches = set()
+        b = 1
+        while b < q:
+            batches.add(-(-b // self._dp) * self._dp)
+            b *= 2
+        batches.add(q)
+        n = 0
+        for width in widths:
+            for bb in sorted(batches):
+                fn = self._forward_fn(bb, width, want_logits=False)
+                arr = np.zeros(
+                    (bb, self.config.input_height, width), np.uint8
+                )
+                if self.pack_input:
+                    arr = packing.pack_bits_host(arr)
+                np.asarray(fn(self.variables, arr))
+                n += 1
+        return n
 
     def run(self, line_image: np.ndarray, pre_pad: bool = False,
             use_lm: bool = False) -> str:

@@ -8,12 +8,20 @@ The reference processes one page at a time and one line per recognizer call
   line strips; disk/decode for upcoming pages overlaps device work through a
   BOUNDED prefetch queue (a 500-page volume never materializes more than a
   window's worth of decoded pages in RAM);
-- phase 2 (cross-page): ALL strips of the window are recognized together —
-  width buckets fill with lines from many pages, so the recognizer runs at
-  large batch sizes regardless of per-page line counts. Window recognition
-  runs on a background thread, overlapping with the NEXT window's detection
-  and host geometry (double buffering);
-- phase 3: results scatter back to their pages, convert encoding, export.
+- phase 2 (cross-page, STREAMING): the window's strips join the
+  recognizer's width-bucket carry; buckets run on device whenever they can
+  fill a full ``stream_quantum`` batch, and under-full buckets (the wide
+  w2500/w3000 lines that arrive ~1 per window) carry ACROSS windows instead
+  of running batch-1 — BENCH_r04 measured 53 batch-1 wide-bucket calls and
+  6 new jit shapes compiling inside the timed soak; the streaming carry
+  plus the closed {pow2, quantum} shape set (RecognitionEngine.stream_run /
+  warm_shapes) eliminates both. Window recognition runs on a background
+  thread, overlapping with the NEXT window's detection and host geometry
+  (double buffering); held pages are bounded (``max_held_pages``) by
+  force-flushing the buckets that block the oldest page;
+- phase 3: results scatter back to their pages, convert encoding, export —
+  in input order (a page emits once ALL its lines resolved and every
+  earlier page has emitted).
 
 Failure isolation is per page (a bad page never kills the volume), and the
 returned records carry the same payload as OCRPipeline.run_ocr.
@@ -32,6 +40,127 @@ import numpy as np
 
 from ocr_inference_tpu.core.data import Encoding, Line, OCRLine, OpStatus
 from ocr_inference_tpu.pipeline.ocr_pipeline import OCRPipeline
+
+
+class _PendingPage:
+    """One page awaiting line texts from the streaming recognizer."""
+
+    __slots__ = ("rec", "slots", "texts", "remaining", "rec_ms")
+
+    def __init__(self, rec: "PageRecord", tokens: list):
+        self.rec = rec
+        self.slots = {t: i for i, t in enumerate(tokens)}
+        self.texts: list = [None] * len(tokens)
+        self.remaining = len(tokens)
+        self.rec_ms = 0.0
+
+
+class _StreamFlusher:
+    """Flush-thread state: feeds window strips into the recognizer's
+    streaming carry (engines.StreamState), bounds the number of pages held
+    waiting on under-full buckets, and finalizes completed pages in input
+    order. All methods run on VolumeRunner's single flush worker."""
+
+    def __init__(self, pipeline: OCRPipeline, target_encoding: Encoding,
+                 quantum: Optional[int], max_held: int):
+        self.p = pipeline
+        self.engine = pipeline.ocr_inference
+        self.state = self.engine.stream_state()
+        self.queue: deque = deque()     # _PendingPage, input order
+        self.owner: dict = {}           # token -> _PendingPage
+        self.quantum = quantum
+        self.max_held = max_held
+        self.target_encoding = target_encoding
+        self._seq = 0
+
+    def add_window(self, window, final: bool = False) -> list:
+        """Ingest one window, run what can run, return completed records."""
+        for rec, strips in window:
+            tokens = list(range(self._seq, self._seq + len(strips)))
+            self._seq += len(strips)
+            page = _PendingPage(rec, tokens)
+            if rec.status == OpStatus.FAILED:
+                page.remaining = 0
+            else:
+                for tok, strip in zip(tokens, strips):
+                    self.engine.stream_add(
+                        self.state, tok, strip,
+                        pre_pad=self.p.use_line_prepadding,
+                    )
+                    self.owner[tok] = page
+            self.queue.append(page)
+
+        # bound held pages: when more than max_held pages wait on carried
+        # buckets, force-flush the buckets blocking the oldest ones (their
+        # remainders run at pre-warmed pow2 shapes, engines.stream_run)
+        force: list = []
+        if not final:
+            unresolved = [pg for pg in self.queue if pg.remaining]
+            excess = len(unresolved) - self.max_held
+            if excess > 0:
+                for pg in unresolved[:excess]:
+                    force.extend(
+                        t for t, i in pg.slots.items()
+                        if pg.texts[i] is None
+                    )
+
+        t0 = time.perf_counter()
+        err = None
+        try:
+            texts = self.engine.stream_run(
+                self.state, final=final, force_tokens=force,
+                quantum=self.quantum,
+            )
+        except Exception as e:  # device-level isolation
+            texts, err = {}, f"recognition failed: {e}"
+        ms = (time.perf_counter() - t0) * 1000
+        if err is not None:
+            # every page still holding unresolved lines fails together —
+            # the same blast radius the pre-streaming window flush had
+            self.state = self.engine.stream_state()
+            self.owner.clear()
+            for pg in self.queue:
+                if pg.remaining:
+                    pg.rec.status, pg.rec.error = OpStatus.FAILED, err
+                    pg.remaining = 0
+        elif texts:
+            share = ms / len(texts)
+            for tok, text in texts.items():
+                pg = self.owner.pop(tok)
+                pg.texts[pg.slots[tok]] = text
+                pg.remaining -= 1
+                pg.rec_ms += share
+
+        done = []
+        while self.queue and self.queue[0].remaining == 0:
+            done.append(self._finalize(self.queue.popleft()))
+        return done
+
+    def _finalize(self, page: "_PendingPage") -> "PageRecord":
+        rec = page.rec
+        rec.timings_ms["recognize"] = page.rec_ms
+        if rec.status == OpStatus.FAILED:
+            return rec
+        ocr_lines = []
+        for text, info in zip(page.texts, rec.lines):
+            pred = (text or "").strip().replace("§", " ")
+            pred = self.p._convert_text(pred, self.target_encoding)
+            ocr_lines.append(
+                OCRLine(
+                    guid=info.guid,
+                    text=pred,
+                    encoding=(
+                        Encoding.WYLIE.name
+                        if self.target_encoding == Encoding.WYLIE
+                        else Encoding.UNICODE.name
+                    ),
+                    ctc_conf=None,
+                    logits=None,
+                    lm_scores=None,
+                )
+            )
+        rec.ocr_lines = ocr_lines
+        return rec
 
 
 @dataclass
@@ -56,6 +185,9 @@ class VolumeRunner:
         prefetch_workers: Optional[int] = None,
         geometry_workers: Optional[int] = None,
         detect_ahead: Optional[int] = None,
+        stream_quantum: Optional[int] = None,
+        max_held_pages: int = 16,
+        adaptive: Optional[bool] = None,
     ):
         # Auto worker counts key on host cores: on a 1-2 core host the
         # extra threads only time-slice the same core (decode, geometry,
@@ -85,6 +217,26 @@ class VolumeRunner:
         if detect_ahead is None:
             detect_ahead = int(os.environ.get("OCR_DETECT_AHEAD", "8"))
         self.detect_ahead = max(self.geometry_workers + 1, detect_ahead)
+        # streaming recognition knobs (see _StreamFlusher): quantum None =
+        # the engine default (RecognitionEngine.STREAM_QUANTUM); max held
+        # pages bounds both emission delay and the RSS of waiting records
+        self.stream_quantum = stream_quantum
+        self.max_held_pages = max(1, max_held_pages)
+        # Relay-phase-adaptive dispatch (VERDICT r4 item 1b): the round-4
+        # soak's overall throughput ran 40% below its median because slow
+        # transport phases were served with the fast-phase configuration —
+        # one process-lifetime H2D probe, fixed detect_ahead. When the
+        # rolling emit throughput collapses below 60% of its p75 for two
+        # consecutive windows, escalate ONCE (sticky, no thrash): deepen
+        # detect_ahead to 16 (keeps the device queue full across longer
+        # RTTs) and enable packed detection uploads (fewer bytes always
+        # wins when the transport is the bottleneck; the one-time packed
+        # pre-program compile persists in the XLA cache).
+        if adaptive is None:
+            adaptive = os.environ.get("OCR_ADAPTIVE", "1") == "1"
+        self.adaptive_enabled = adaptive
+        self.adaptive = {"enabled": adaptive, "escalated": False,
+                         "events": []}
 
     # -- phase 1: one page to strips --
 
@@ -170,67 +322,6 @@ class VolumeRunner:
             rec.error = f"page failed: {e}"
             return rec, []
 
-    # -- phase 2+3: window recognition (runs on the flush thread) --
-
-    def _flush_window(
-        self,
-        window: list[tuple[PageRecord, list[np.ndarray]]],
-        target_encoding: Encoding,
-    ) -> list[PageRecord]:
-        p = self.pipeline
-        all_strips: list[np.ndarray] = []
-        spans: list[tuple[PageRecord, int, int]] = []
-        for rec, strips in window:
-            start = len(all_strips)
-            all_strips.extend(strips)
-            spans.append((rec, start, len(all_strips)))
-        rec_ms = 0.0
-        texts: list[str] = []
-        rec_error: Optional[str] = None
-        if all_strips:
-            t0 = time.perf_counter()
-            try:
-                texts = p.ocr_inference.run_batch(
-                    all_strips, pre_pad=p.use_line_prepadding
-                )
-            except Exception as e:  # window-level isolation
-                rec_error = f"recognition failed: {e}"
-            rec_ms = (time.perf_counter() - t0) * 1000
-
-        done: list[PageRecord] = []
-        for rec, start, end in spans:
-            rec.timings_ms["recognize"] = rec_ms * (
-                (end - start) / max(len(all_strips), 1)
-            )
-            if rec.status == OpStatus.FAILED:
-                done.append(rec)
-                continue
-            if rec_error is not None:
-                rec.status, rec.error = OpStatus.FAILED, rec_error
-                done.append(rec)
-                continue
-            ocr_lines = []
-            for text, info in zip(texts[start:end], rec.lines):
-                pred = text.strip().replace("§", " ")
-                pred = p._convert_text(pred, target_encoding)
-                ocr_lines.append(
-                    OCRLine(
-                        guid=info.guid,
-                        text=pred,
-                        encoding=(
-                            Encoding.WYLIE.name
-                            if target_encoding == Encoding.WYLIE
-                            else Encoding.UNICODE.name
-                        ),
-                        ctc_conf=None,
-                        logits=None,
-                        lm_scores=None,
-                    )
-                )
-            rec.ocr_lines = ocr_lines
-            done.append(rec)
-        return done
-
     # -- main entry --
 
     def run(
@@ -259,25 +350,62 @@ class VolumeRunner:
                     img = e
             return name, img
 
+        # adaptive-dispatch monitor: per-emit instantaneous throughput vs
+        # its own p75; two consecutive collapses trigger the one-time
+        # escalation (see __init__). Runs on the main thread (emit is only
+        # called there).
+        tput_hist: list[float] = []
+        last_emit = [time.perf_counter()]
+
+        def note_progress(n: int):
+            if n <= 0 or not self.adaptive_enabled:
+                return
+            now = time.perf_counter()
+            dt = now - last_emit[0]
+            last_emit[0] = now
+            if dt <= 0:
+                return
+            tput_hist.append(n / dt)
+            if self.adaptive["escalated"] or len(tput_hist) < 5:
+                return
+            peak = sorted(tput_hist)[int(0.75 * (len(tput_hist) - 1))]
+            if tput_hist[-1] < 0.6 * peak and tput_hist[-2] < 0.6 * peak:
+                det = getattr(self.pipeline, "line_inference", None)
+                event = {
+                    "page": len(results),
+                    "tput_recent": round(tput_hist[-1], 2),
+                    "tput_p75": round(peak, 2),
+                    "detect_ahead": {"from": self.detect_ahead, "to": 16},
+                }
+                self.detect_ahead = max(self.detect_ahead, 16)
+                if det is not None and not getattr(det, "pack_input", True):
+                    det.pack_input = True
+                    event["pack_input"] = True
+                self.adaptive["escalated"] = True
+                self.adaptive["events"].append(event)
+
         def emit(recs: list[PageRecord]):
             results.extend(recs)
             if on_page_done:
                 for r in recs:
                     on_page_done(r)
+            note_progress(len(recs))
 
-        # one background recognizer keeps window N's device recognition +
-        # decode overlapping window N+1's detection and host geometry,
-        # without ever holding more than two windows of strips alive
+        # one background flush worker keeps recognition + decode
+        # overlapping the next window's detection and host geometry; its
+        # streaming carry spans windows (see _StreamFlusher)
+        flusher = _StreamFlusher(
+            self.pipeline, target_encoding, self.stream_quantum,
+            self.max_held_pages,
+        )
         flush_pool = ThreadPoolExecutor(max_workers=1)
         pending = None
 
-        def start_flush(window):
+        def start_flush(window, final: bool = False):
             nonlocal pending
             if pending is not None:
                 emit(pending.result())
-            pending = flush_pool.submit(
-                self._flush_window, window, target_encoding
-            )
+            pending = flush_pool.submit(flusher.add_window, window, final)
 
         window: list[tuple[PageRecord, list[np.ndarray]]] = []
         load_pool = ThreadPoolExecutor(max_workers=self.prefetch_workers)
@@ -300,9 +428,6 @@ class VolumeRunner:
             # reference runs every stage back to back (cli.py:113-139).
             geo_pool = ThreadPoolExecutor(max_workers=self.geometry_workers)
             inflight: deque = deque()
-            # distinct from the decode lookahead 'depth' above — rebinding
-            # that one would silently cap the loader queue by worker count
-            geo_depth = self.detect_ahead
 
             def process(fut):
                 nonlocal window
@@ -339,14 +464,17 @@ class VolumeRunner:
                             bbox_tolerance=bbox_tolerance,
                         )
                     inflight.append(fut)
-                    while len(inflight) > geo_depth:
+                    # self.detect_ahead is read fresh each iteration so the
+                    # adaptive escalation deepens the queue mid-run
+                    while len(inflight) > self.detect_ahead:
                         process(inflight.popleft())
                 while inflight:
                     process(inflight.popleft())
             finally:
                 geo_pool.shutdown(wait=False)
-            if window:
-                start_flush(window)
+            # final flush: the (possibly empty) partial window plus every
+            # bucket still carried in the streaming state
+            start_flush(window, final=True)
             if pending is not None:
                 emit(pending.result())
         finally:

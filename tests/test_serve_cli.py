@@ -67,6 +67,46 @@ def test_serve_loop_dynamic_batching_over_pipe():
     assert [r.name for r in emitted] == ["a.png", "b.png", "c.png", "d.png"]
 
 
+def test_serve_loop_overload_shedding():
+    """max_queue bounds a burst: overflow pages get a 429-style shed
+    response immediately, admitted pages are served, and shedding applies
+    per burst (a later, smaller burst is admitted in full)."""
+    import os
+
+    from ocr_inference_tpu.cli.serve_cli import _LineReader, serve_loop
+
+    bursts, emitted, errors = [], [], []
+
+    class StubRecord:
+        def __init__(self, name):
+            self.name = name
+
+    class StubRunner:
+        def run(self, images, on_page_done=None, **kw):
+            images = list(images)
+            bursts.append([name for name, _ in images])
+            recs = [StubRecord(name) for name, _ in images]
+            for r in recs:
+                on_page_done(r)
+            return recs
+
+    r_fd, w_fd = os.pipe()
+    # a burst of 5 queued before the loop starts, cap 3 -> 2 shed
+    for p in ("a.png", "b.png", "c.png", "d.png", "e.png"):
+        os.write(w_fd, json.dumps({"image": p}).encode() + b"\n")
+    os.close(w_fd)
+
+    serve_loop(
+        StubRunner(), _LineReader(fd=r_fd), lambda p: (lambda: None),
+        emitted.append, errors.append, encoding=None, max_queue=3,
+    )
+    os.close(r_fd)
+    assert [r.name for r in emitted] == ["a.png", "b.png", "c.png"]
+    assert [e["image"] for e in errors] == ["d.png", "e.png"]
+    assert all(e["status"] == "shed" and e["code"] == 429 for e in errors)
+    assert all(len(b) <= 3 for b in bursts)
+
+
 def test_serve_jsonl_protocol(tmp_path, monkeypatch, capsys):
     model_dir = _model_dir(tmp_path)
     page = tmp_path / "page.png"

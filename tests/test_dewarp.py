@@ -181,3 +181,137 @@ def test_vertical_warp_overshoot_reports_max_dy():
     # control points demand up to ~50 px of displacement: the b=32 band is
     # insufficient and the kernel must say so
     assert float(max_dy) > 31
+
+
+def test_host_vertical_warp_matches_device():
+    """host_warp_pair_vertical (coarse-grid TPS y-map + cv2.remap, zero
+    transfer bytes — the slow-transport path of apply_global_tps) must
+    match the device vertical warp. The coarse 65x65 map reconstruction
+    carries <=~0.15 px error, which on a worst-case random-noise image
+    moves a small fraction of interpolated values; the contract is
+    distributional (mean + outlier fraction + mask flips), with the map
+    itself pinned to the exact TPS below."""
+    import jax.numpy as jnp
+
+    from ocr_inference_tpu.ops.packing import pack_bits_host, unpack_mask
+
+    rng = np.random.default_rng(11)
+    h, w = 256, 384
+    img = rng.integers(0, 255, (h, w), np.uint8)
+    mask = ((rng.random((h, w)) > 0.6) * 255).astype(np.uint8)
+
+    xs = np.linspace(20, w - 20, 8)
+    src = np.stack([140 + 18 * np.sin(xs / 40.0), xs], -1)
+    dst = np.stack([np.full(8, 140.0), xs], -1)
+    corners = np.array([[0, 0], [1, 0], [0, 1], [1, 1]], np.float64) * [h, w]
+    control, weights, affine = T.fit_tps(
+        np.concatenate([src, corners]), np.concatenate([dst, corners])
+    )
+
+    dev_img, dev_packed, _ = T._warp_pair_vertical(
+        jnp.asarray(img),
+        jnp.asarray(pack_bits_host(mask > 0)),
+        jnp.asarray(control, np.float32),
+        jnp.asarray(weights, np.float32),
+        jnp.asarray(affine, np.float32),
+        b=64,
+    )
+    host_img, host_mask = T.host_warp_pair_vertical(
+        img, mask, control, weights, affine
+    )
+    assert host_img.shape == (h, w) and host_img.dtype == np.uint8
+    assert set(np.unique(host_mask)) <= {0, 255}
+
+    # exclude a 3-px border: the resize upsample replicates the outer
+    # half-cell of the coarse lattice (~2 px on this test-sized page,
+    # ~12 px — where displacement is corner-anchored ~0 — on real pages)
+    diff = np.abs(
+        np.asarray(dev_img).astype(int) - host_img.astype(int)
+    )[3:-3, 3:-3]
+    assert diff.mean() < 2.0, diff.mean()
+    assert (diff > 8).mean() < 0.01, (diff > 8).mean()
+
+    m_dev = unpack_mask(np.asarray(dev_packed), w)[3:-3, 3:-3]
+    m_host = (host_mask[3:-3, 3:-3] > 0).astype(m_dev.dtype)
+    assert np.mean(m_dev != m_host) < 0.01
+
+    # the coarse-grid y-map itself is pinned to the exact TPS evaluation
+    rng2 = np.random.default_rng(3)
+    pts = np.stack(
+        [rng2.uniform(0, h - 1, 4000), rng2.uniform(0, w - 1, 4000)], 1
+    )
+    exact = T.tps_transform_points(pts, control, weights, affine)[:, 0]
+    gy = np.linspace(0.0, h - 1.0, 65)
+    gx = np.linspace(0.0, w - 1.0, 65)
+    yy, xx = np.meshgrid(gy, gx, indexing="ij")
+    coarse = T.tps_transform_points(
+        np.stack([yy.ravel(), xx.ravel()], 1), control, weights, affine
+    )[:, 0].reshape(65, 65)
+    fy = pts[:, 0] / (h - 1) * 64
+    fx = pts[:, 1] / (w - 1) * 64
+    iy = np.clip(fy.astype(int), 0, 63)
+    ix = np.clip(fx.astype(int), 0, 63)
+    wy, wx = fy - iy, fx - ix
+    approx = (
+        coarse[iy, ix] * (1 - wy) * (1 - wx)
+        + coarse[iy, ix + 1] * (1 - wy) * wx
+        + coarse[iy + 1, ix] * wy * (1 - wx)
+        + coarse[iy + 1, ix + 1] * wy * wx
+    )
+    assert np.abs(approx - exact).max() < 0.2
+
+
+def test_apply_global_tps_host_and_device_agree():
+    """OCR_TPS_HOST=1 and =0 must produce interchangeable page/mask pairs
+    through the public apply_global_tps entry."""
+    import os
+
+    img, mask = _curved_line_page()
+    contours = list(G.get_contours(mask))
+    _, line_data = T.check_for_tps(img, contours)
+    old = os.environ.get("OCR_TPS_HOST")
+    try:
+        os.environ["OCR_TPS_HOST"] = "0"
+        di, dm = T.apply_global_tps(img, mask, line_data)
+        os.environ["OCR_TPS_HOST"] = "1"
+        hi, hm = T.apply_global_tps(img, mask, line_data)
+    finally:
+        if old is None:
+            os.environ.pop("OCR_TPS_HOST", None)
+        else:
+            os.environ["OCR_TPS_HOST"] = old
+    assert hi.shape == di.shape and hm.shape == dm.shape
+    assert np.mean(np.asarray(dm) != np.asarray(hm)) < 1e-3
+    # pointwise deltas concentrate on the dark-line edges (a ~0.1 px map
+    # delta flips which source pixel an edge samples); bound the fraction
+    assert np.mean(
+        np.abs(np.asarray(di).astype(int) - hi.astype(int)) > 2
+    ) < 0.02
+
+
+def test_check_line_tps_roi_matches_full_page():
+    """The ROI-local curvature probe must agree with the reference's
+    full-page-mask formulation (forced via the degenerate fallback)."""
+    img, mask = _curved_line_page()
+    cnt = max(G.get_contours(mask), key=cv2.contourArea)
+    got = T.check_line_tps(img, cnt)
+
+    # full-page reference formulation, inline
+    import numpy as _np
+
+    x, y, w, h = cv2.boundingRect(cnt)
+    full = _np.zeros(img.shape[:2], dtype=_np.uint8)
+    cv2.drawContours(full, [cnt], 0, 255, -1)
+    starts = [x, x + w // 4 - 40, x + w // 2, x + w // 2 + w // 4, x + w - 40]
+    centers, heights = [], []
+    for sx in starts:
+        sl = full[y : y + h, sx : sx + 40]
+        gx, gy, bh = T.get_global_center(sl, sx, y)
+        centers.append((gx, gy))
+        heights.append(bh)
+    ys = [c[1] for c in centers]
+    exp_curved = (max(ys) - min(ys)) > float(_np.mean(heights))
+
+    assert got[0] == exp_curved
+    if got[0]:
+        assert got[1] == [[cy, cx] for cx, cy in centers]

@@ -39,6 +39,12 @@ def _worker_env(port: int, pid: int, nproc: int, ndev: int) -> dict:
     # JAX_PLATFORMS=cpu; the workers must be pure-CPU processes
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env.pop("_AXON_REGISTERED", None)
+    # script-mode python puts the SCRIPT's dir on sys.path, not the cwd:
+    # the workers need the repo root explicitly (the suite must not depend
+    # on the launcher's PYTHONPATH)
+    env["PYTHONPATH"] = str(REPO) + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={ndev}"
     env["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
@@ -54,6 +60,9 @@ def _oracle_env(ndev: int) -> dict:
     for k in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
               "JAX_PROCESS_ID"):
         env.pop(k, None)
+    env["PYTHONPATH"] = str(REPO) + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={ndev}"
     return env

@@ -158,7 +158,12 @@ def build_raw_line_data(
 
     angle = calculate_rotation_angle_from_lines(line_mask)
 
-    if angle > rot_threshold:
+    # Documented divergence: the reference gates on `angle > threshold`
+    # (line_detection.py:228), which under its own angle conventions never
+    # fires for clockwise skews — one whole rotation direction ships
+    # uncorrected (round-5 eval measured 5-25% CER on those pages vs ~0%
+    # for the counter-clockwise half). The evident intent is |angle|.
+    if abs(angle) > rot_threshold:
         out_mask = rotate_from_angle(line_mask, angle)
         out_img = rotate_from_angle(image, angle)
     else:

@@ -33,6 +33,10 @@ def main() -> int:
     ap.add_argument("--compare", action="append", default=[],
                     metavar="NAME=DIR",
                     help="extra labeled rows (per_distribution + cer only)")
+    ap.add_argument("--compare-file", action="append", default=[],
+                    metavar="NAME=JSON",
+                    help="extra labeled rows from an explicit EVAL-format "
+                         "json file (e.g. a preserved pre-fix record)")
     ap.add_argument("--lm", default=None, metavar="JSON",
                     help="LM-fusion outcome record to embed verbatim "
                          "(a JSON file with the calibrated win/no-op rows)")
@@ -51,13 +55,20 @@ def main() -> int:
     }
     rec["primary_artifact"] = str(args.primary)
 
-    for spec in args.compare:
+    specs = [(s, True) for s in args.compare] + [
+        (s, False) for s in args.compare_file
+    ]
+    for spec, is_dir in specs:
         name, _, d = spec.partition("=")
-        c = load(d)
+        if is_dir:
+            c = load(d)
+        else:
+            with open(d) as f:
+                c = json.load(f)
         row = {
             "cer": c.get("cer"),
             "per_distribution": c.get("per_distribution"),
-            "source": str(Path(d) / "EVAL.json"),
+            "source": str(Path(d) / "EVAL.json") if is_dir else str(d),
         }
         if "cer_ci95" in c:
             row["cer_ci95"] = c["cer_ci95"]

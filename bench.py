@@ -318,15 +318,22 @@ def run_volume(pipeline, pages, per_line: bool = False, use_tps: bool = False,
                 use_tps=use_tps,
                 on_page_done=page_done,
             )
-            total_elapsed += time.perf_counter() - start
-            # per-window throughput: completion timestamps in chunks of
-            # window_pages (windows emit together, so chunk edges align);
-            # volumes smaller than one window get one chunk of len(pages)
-            chunk = min(window_pages, len(done_ts))
-            prev = start
-            for k in range(chunk - 1, len(done_ts), chunk):
-                window_tputs.append(chunk / (done_ts[k] - prev))
-                prev = done_ts[k]
+            run_elapsed = time.perf_counter() - start
+            total_elapsed += run_elapsed
+            # per-window throughput over FIXED WALL-CLOCK intervals (one
+            # interval per window-sized slice of the run): completions are
+            # counted per interval. Counting page-index chunks instead
+            # (the pre-streaming formulation) breaks under the streaming
+            # flusher, whose bursty in-order emission can complete two
+            # chunks in one burst and record a ~1000x throughput spike as
+            # a "window".
+            n_chunks = max(1, len(done_ts) // max(window_pages, 1))
+            interval = run_elapsed / n_chunks
+            counts = [0] * n_chunks
+            for t in done_ts:
+                idx = min(int((t - start) / interval), n_chunks - 1)
+                counts[idx] += 1
+            window_tputs.extend(c / interval for c in counts)
     assert all(r.status == OpStatus.SUCCESS for r in results), [
         r.error for r in results if r.error
     ]

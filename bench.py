@@ -320,20 +320,24 @@ def run_volume(pipeline, pages, per_line: bool = False, use_tps: bool = False,
             )
             run_elapsed = time.perf_counter() - start
             total_elapsed += run_elapsed
-            # per-window throughput over FIXED WALL-CLOCK intervals (one
-            # interval per window-sized slice of the run): completions are
-            # counted per interval. Counting page-index chunks instead
-            # (the pre-streaming formulation) breaks under the streaming
-            # flusher, whose bursty in-order emission can complete two
-            # chunks in one burst and record a ~1000x throughput spike as
-            # a "window".
-            n_chunks = max(1, len(done_ts) // max(window_pages, 1))
-            interval = run_elapsed / n_chunks
-            counts = [0] * n_chunks
-            for t in done_ts:
-                idx = min(int((t - start) / interval), n_chunks - 1)
-                counts[idx] += 1
-            window_tputs.extend(c / interval for c in counts)
+            # Sustained throughput distribution via SLIDING page spans.
+            # The pre-streaming formulation (page-index chunks between
+            # completion timestamps) breaks under the streaming flusher,
+            # whose bursty in-order emission can complete two chunks in
+            # one burst and record a ~1000x spike as a "window"; fixed
+            # wall intervals instead quantize to 0/1 counts on small
+            # volumes. A span WIDER than any emission burst (the flusher
+            # holds at most max_held_pages=16) always crosses burst
+            # boundaries, so each sample is a real sustained rate; spans
+            # step by window_pages to stay O(volume).
+            span = max(window_pages, 32)
+            if len(done_ts) <= span:
+                window_tputs.append(len(done_ts) / run_elapsed)
+            else:
+                for k in range(span, len(done_ts), window_pages):
+                    dt = done_ts[k] - done_ts[k - span]
+                    if dt > 0:
+                        window_tputs.append(span / dt)
     assert all(r.status == OpStatus.SUCCESS for r in results), [
         r.error for r in results if r.error
     ]
